@@ -1,0 +1,237 @@
+"""Posting-list codec: docID-delta + varbyte, with per-block max metadata.
+
+This is the explicit realization of what the reference only *declares*:
+``indexing: index`` + ``index: enable-bm25`` on the searchable fields
+(/root/reference/search-engine/schemas/spot.sd:10-11,15-16) — Vespa
+builds compressed posting lists with interleaved BM25 features
+internally; here they are real, inspectable artifacts.
+
+Layout (per term):
+  * postings are sorted by doc_id and cut into blocks of
+    ``BLOCK_SIZE`` (=128) docs;
+  * each block stores its first doc_id absolutely in ``block_first_doc``
+    so blocks decode independently and salted sub-lists concatenate
+    without re-encoding (doc-range salting, see index_build.py);
+  * within a block, doc_ids after the first are delta-encoded
+    (delta >= 1, unique docs) and varbyte-compressed; tfs are
+    varbyte-compressed as-is;
+  * ``block_max_wf`` holds the block max of the idf-free BM25 weight
+    ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` — multiply by idf(term) at
+    query time to get a true per-block score upper bound (block-max
+    WAND metadata).
+
+All encode/decode is vectorized numpy — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from micce_search_engine_spark import BLOCK_SIZE
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128-style varbyte: 7 data bits/byte, MSB=continuation."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+    nbits = np.maximum(nbits, 1)
+    total = int(nbits.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbits)
+    starts = ends - nbits
+    # position of each output byte within its value
+    idx = np.arange(total, dtype=np.int64)
+    owner = np.repeat(np.arange(v.size, dtype=np.int64), nbits)
+    pos = idx - starts[owner]
+    chunk = (v[owner] >> (pos.astype(np.uint64) * np.uint64(7))) & np.uint64(0x7F)
+    out[:] = chunk.astype(np.uint8)
+    # continuation bit on every byte except the last of each value
+    is_last = idx == (ends[owner] - 1)
+    out[~is_last] |= 0x80
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Inverse of varbyte_encode. Returns uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    n_vals = int(is_last.sum())
+    owner = np.zeros(b.size, dtype=np.int64)
+    owner[1:] = np.cumsum(is_last[:-1])
+    starts = np.zeros(n_vals, dtype=np.int64)
+    last_idx = np.flatnonzero(is_last)
+    starts[1:] = last_idx[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - starts[owner]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        pos.astype(np.uint64) * np.uint64(7)
+    )
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, owner, contrib)
+    return out
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    wf: np.ndarray,
+    dls: np.ndarray | None = None,
+) -> dict:
+    """Encode one term's postings (pre-sorted unique doc_ids) into blocks.
+
+    ``wf`` is the idf-free BM25 weight per posting (same order).
+    ``dls`` (doc lengths) are stored interleaved like Vespa's BM25
+    features (spot.sd:11 ``enable-bm25``) so query-time scoring needs no
+    join against a doc-length table.
+    Returns a dict of plain-python/bytes values matching the segment
+    table schema in index_build.py.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    wf = np.asarray(wf, dtype=np.float64)
+    if dls is None:
+        dls = np.zeros_like(tfs)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = doc_ids.size
+    assert n > 0
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    bounds = np.minimum(np.arange(1, n_blocks + 1) * BLOCK_SIZE, n)
+    starts = np.concatenate(([0], bounds[:-1]))
+
+    block_first = doc_ids[starts]
+    block_last = doc_ids[bounds - 1]
+    block_n = (bounds - starts).astype(np.int32)
+    # per-block maxes via reduceat (bounds are block starts)
+    block_max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+    block_max_wf = np.maximum.reduceat(wf, starts)
+
+    # deltas: within each block, doc[i] - doc[i-1]; block-first excluded
+    deltas = np.diff(doc_ids)
+    keep = np.ones(max(n - 1, 0), dtype=bool)
+    keep[starts[1:] - 1] = False  # drop the cross-block delta
+    doc_parts = []
+    tf_parts = []
+    dl_parts = []
+    doc_off = [0]
+    tf_off = [0]
+    dl_off = [0]
+    for bi in range(n_blocks):
+        s, e = starts[bi], bounds[bi]
+        d = deltas[s : e - 1] if e - s > 1 else np.empty(0, dtype=np.int64)
+        doc_parts.append(varbyte_encode(d.astype(np.uint64)))
+        tf_parts.append(varbyte_encode(tfs[s:e].astype(np.uint64)))
+        dl_parts.append(varbyte_encode(dls[s:e].astype(np.uint64)))
+        doc_off.append(doc_off[-1] + len(doc_parts[-1]))
+        tf_off.append(tf_off[-1] + len(tf_parts[-1]))
+        dl_off.append(dl_off[-1] + len(dl_parts[-1]))
+
+    return {
+        "df": int(n),
+        "cf": int(tfs.sum()),
+        "max_tf": int(tfs.max()),
+        "max_wf": float(wf.max()),
+        "block_first_doc": block_first.tolist(),
+        "block_last_doc": block_last.tolist(),
+        "block_n": block_n.tolist(),
+        "block_max_tf": block_max_tf.tolist(),
+        "block_max_wf": block_max_wf.tolist(),
+        "block_doc_off": [int(x) for x in doc_off],  # len n_blocks+1
+        "block_tf_off": [int(x) for x in tf_off],
+        "block_dl_off": [int(x) for x in dl_off],
+        "doc_blob": b"".join(doc_parts),
+        "tf_blob": b"".join(tf_parts),
+        "dl_blob": b"".join(dl_parts),
+    }
+
+
+def decode_postings(
+    row: dict, block_mask: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (optionally a subset of blocks of) one term's postings.
+
+    ``row`` is a dict-like with the encode_postings fields.
+    ``block_mask`` is a boolean array over blocks; None decodes all.
+    Returns (doc_ids int64, tfs int64, dls int64).
+    """
+    first = np.asarray(row["block_first_doc"], dtype=np.int64)
+    block_n = np.asarray(row["block_n"], dtype=np.int64)
+    doc_off = np.asarray(row["block_doc_off"], dtype=np.int64)
+    tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
+    dl_off = np.asarray(row["block_dl_off"], dtype=np.int64)
+    doc_blob = np.frombuffer(bytes(row["doc_blob"]), dtype=np.uint8)
+    tf_blob = np.frombuffer(bytes(row["tf_blob"]), dtype=np.uint8)
+    dl_blob = np.frombuffer(bytes(row["dl_blob"]), dtype=np.uint8)
+    n_blocks = first.size
+    if block_mask is None:
+        block_mask = np.ones(n_blocks, dtype=bool)
+    sel = np.flatnonzero(block_mask)
+    empty = np.empty(0, dtype=np.int64)
+    if sel.size == 0:
+        return empty, empty.copy(), empty.copy()
+
+    docs_out = []
+    tfs_out = []
+    dls_out = []
+    for bi in sel:
+        d = varbyte_decode(doc_blob[doc_off[bi] : doc_off[bi + 1]]).astype(np.int64)
+        ids = np.empty(block_n[bi], dtype=np.int64)
+        ids[0] = first[bi]
+        if d.size:
+            ids[1:] = first[bi] + np.cumsum(d)
+        docs_out.append(ids)
+        tfs_out.append(
+            varbyte_decode(tf_blob[tf_off[bi] : tf_off[bi + 1]]).astype(np.int64)
+        )
+        dls_out.append(
+            varbyte_decode(dl_blob[dl_off[bi] : dl_off[bi + 1]]).astype(np.int64)
+        )
+    return (
+        np.concatenate(docs_out),
+        np.concatenate(tfs_out),
+        np.concatenate(dls_out),
+    )
+
+
+def merge_encoded(parts: list[dict]) -> dict:
+    """Merge doc-range-salted sub-lists of one term (non-overlapping,
+    already ordered by doc range) into one encoded row by blob
+    concatenation — possible because every block stores its first doc_id
+    absolutely. Used by the hierarchical hot-term merge
+    (SURVEY.md §4.2 item 3)."""
+    parts = sorted(parts, key=lambda p: p["block_first_doc"][0])
+    doc_off = [0]
+    tf_off = [0]
+    dl_off = [0]
+    for p in parts:
+        base_d, base_t, base_l = doc_off[-1], tf_off[-1], dl_off[-1]
+        doc_off.extend(base_d + o for o in p["block_doc_off"][1:])
+        tf_off.extend(base_t + o for o in p["block_tf_off"][1:])
+        dl_off.extend(base_l + o for o in p["block_dl_off"][1:])
+    return {
+        "df": sum(p["df"] for p in parts),
+        "cf": sum(p["cf"] for p in parts),
+        "max_tf": max(p["max_tf"] for p in parts),
+        "max_wf": max(p["max_wf"] for p in parts),
+        "block_first_doc": [x for p in parts for x in p["block_first_doc"]],
+        "block_last_doc": [x for p in parts for x in p["block_last_doc"]],
+        "block_n": [x for p in parts for x in p["block_n"]],
+        "block_max_tf": [x for p in parts for x in p["block_max_tf"]],
+        "block_max_wf": [x for p in parts for x in p["block_max_wf"]],
+        "block_doc_off": doc_off,
+        "block_tf_off": tf_off,
+        "block_dl_off": dl_off,
+        "doc_blob": b"".join(bytes(p["doc_blob"]) for p in parts),
+        "tf_blob": b"".join(bytes(p["tf_blob"]) for p in parts),
+        "dl_blob": b"".join(bytes(p["dl_blob"]) for p in parts),
+    }

@@ -1,0 +1,228 @@
+"""Inverted-index build: the engine's realization of ``indexing: index``
++ ``enable-bm25`` (/root/reference/search-engine/schemas/spot.sd:10-16)
+as an explicit, checkpoint-resumable Spark pipeline (SURVEY.md §3.3):
+
+  S1_tokenize  pages -> docs(doc_id,url,warc_ts,lang,dl) + terms(doc_id,term,tf,dl)
+  S2_stats     corpus stats (N, avgdl) + per-term stats (df, cf)
+  S3_segments  salted groupBy(term) -> delta+varbyte posting blocks with
+               block-max metadata, bucket-partitioned parquet
+
+Scale notes (designed for 10^12 docs / 1000 executors, tested local):
+  * the only wide shuffles are groupBy(doc_id,term) [S1], groupBy(term)
+    [S2] and groupBy(term,salt) [S3] — all partial-aggregated map-side
+    by Catalyst where applicable;
+  * Zipf-head skew on groupBy(term) is handled EXPLICITLY: terms whose
+    df exceeds ``max_postings_per_row`` are range-salted by doc_id into
+    ceil(df/max) contiguous sub-ranges, so no single task ever holds
+    more than ``max_postings_per_row`` postings (AQE skew handling does
+    not apply to aggregations — SURVEY.md §4.2 item 3);
+  * salted sub-lists stay separate segment rows (term, salt); query
+    decodes them independently — no re-concentration of a stopword's
+    full posting list on one task, and parquet row sizes stay bounded;
+  * segments are partitioned by ``bucket = crc32(term) % n_buckets`` so
+    a query prunes to its terms' buckets (the Iceberg ``bucket(term)``
+    analog, SURVEY.md §4.1);
+  * all per-row work is in Arrow-batched pandas UDFs (tokenizer) or
+    grouped-map numpy (posting encode); no per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from micce_search_engine_spark import BLOCK_SIZE, BM25_B, BM25_K1
+from micce_search_engine_spark.functions.codec import encode_postings
+from micce_search_engine_spark.functions.tokenize import tokenize_udf
+from micce_search_engine_spark.operators.docids import assign_doc_ids
+from micce_search_engine_spark.plans.manifest import Manifest, atomic_stage
+
+SEGMENT_SCHEMA = (
+    "term string, salt int, bucket int, df long, cf long, max_tf int, "
+    "max_wf double, block_first_doc array<long>, block_last_doc array<long>, "
+    "block_n array<int>, block_max_tf array<int>, block_max_wf array<double>, "
+    "block_doc_off array<long>, block_tf_off array<long>, "
+    "block_dl_off array<long>, doc_blob binary, tf_blob binary, dl_blob binary"
+)
+
+
+def bucket_of(term: str, n_buckets: int) -> int:
+    """Deterministic, JVM-independent term bucket (used at build AND
+    query time — must never depend on Spark's internal hash)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+class IndexPaths:
+    def __init__(self, index_dir: str):
+        self.root = index_dir
+        self.docs = os.path.join(index_dir, "docs")
+        self.terms = os.path.join(index_dir, "terms")
+        self.stats = os.path.join(index_dir, "stats")
+        self.term_stats = os.path.join(index_dir, "term_stats")
+        self.segments = os.path.join(index_dir, "segments")
+        self.meta = os.path.join(index_dir, "meta.json")
+
+
+def _make_encoder(avgdl: float):
+    """Grouped-map encoder for one (term, salt) group -> one segment row."""
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        wf = (
+            tfs
+            * (BM25_K1 + 1.0)
+            / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
+        )
+        enc = encode_postings(docs, tfs, wf, dls)
+        term = pdf["term"].iloc[0]
+        n_buckets = int(pdf["n_buckets"].iloc[0])
+        row = {
+            "term": [term],
+            "salt": [int(pdf["salt"].iloc[0])],
+            "bucket": [bucket_of(term, n_buckets)],
+            "df": [enc["df"]],
+            "cf": [enc["cf"]],
+            "max_tf": [enc["max_tf"]],
+            "max_wf": [enc["max_wf"]],
+            "block_first_doc": [enc["block_first_doc"]],
+            "block_last_doc": [enc["block_last_doc"]],
+            "block_n": [enc["block_n"]],
+            "block_max_tf": [enc["block_max_tf"]],
+            "block_max_wf": [enc["block_max_wf"]],
+            "block_doc_off": [enc["block_doc_off"]],
+            "block_tf_off": [enc["block_tf_off"]],
+            "block_dl_off": [enc["block_dl_off"]],
+            "doc_blob": [enc["doc_blob"]],
+            "tf_blob": [enc["tf_blob"]],
+            "dl_blob": [enc["dl_blob"]],
+        }
+        return pd.DataFrame(row)
+
+    return encode_group
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    n_buckets: int = 16,
+    max_postings_per_row: int = 200_000,
+    fail_after: str | None = None,
+    doc_id_col: str | None = None,
+) -> None:
+    """Build (or resume building) the full index under ``index_dir``.
+
+    ``pages`` must have url/text/lang columns (warc_ts/html optional).
+    ``fail_after`` is a test hook: raise after the named stage commits,
+    simulating a crash (resume tests, SURVEY.md §5.4).
+    ``doc_id_col``: use a pre-existing deterministic id column instead
+    of assigning by url rank (used for tables that ship their own ids).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    m = Manifest(index_dir)
+    p = IndexPaths(index_dir)
+    has_ts = "warc_ts" in pages.columns
+
+    # ---- S1: tokenize -> docs + terms -------------------------------
+    st = atomic_stage(m, "S1_tokenize", [p.docs, p.terms])
+    if not st.skipped:
+        with st:
+            if doc_id_col is None:
+                with_ids = assign_doc_ids(pages)
+            else:
+                with_ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+            tok = with_ids.withColumn("tokens", tokenize_udf(F.col("text")))
+            tok = tok.withColumn("dl", F.coalesce(F.size("tokens"), F.lit(0)))
+            tok = tok.persist()
+            st.rows_in = tok.count()
+            doc_cols = ["doc_id", "url", "lang", "dl"] + (
+                ["warc_ts"] if has_ts else []
+            )
+            (
+                tok.select(*doc_cols)
+                .write.mode("overwrite")
+                .partitionBy("lang")
+                .parquet(p.docs + ".__tmp__")
+            )
+            terms = (
+                tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
+                .groupBy("doc_id", "term", "dl")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+            terms.write.mode("overwrite").parquet(p.terms + ".__tmp__")
+            tok.unpersist()
+    if fail_after == "S1_tokenize":
+        raise RuntimeError("injected failure after S1_tokenize")
+
+    # ---- S2: corpus + term statistics --------------------------------
+    st = atomic_stage(m, "S2_stats", [p.stats, p.term_stats])
+    if not st.skipped:
+        with st:
+            docs = spark.read.parquet(p.docs)
+            stats = docs.agg(
+                F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+            )
+            stats.coalesce(1).write.mode("overwrite").parquet(p.stats + ".__tmp__")
+            terms = spark.read.parquet(p.terms)
+            (
+                terms.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+                .write.mode("overwrite")
+                .parquet(p.term_stats + ".__tmp__")
+            )
+    if fail_after == "S2_stats":
+        raise RuntimeError("injected failure after S2_stats")
+
+    # ---- S3: salted posting-list build -> bucketed segments ----------
+    st = atomic_stage(m, "S3_segments", [p.segments])
+    if not st.skipped:
+        with st:
+            stats_row = spark.read.parquet(p.stats).collect()[0]
+            n_docs, avgdl = int(stats_row["N"]), float(stats_row["avgdl"])
+            terms = spark.read.parquet(p.terms)
+            # Explicit skew handling: broadcast only the Zipf head.
+            hot = (
+                spark.read.parquet(p.term_stats)
+                .filter(F.col("df") > max_postings_per_row)
+                .select("term", F.col("df").alias("_hot_df"))
+            )
+            terms = terms.join(F.broadcast(hot), "term", "left")
+            n_rows = F.ceil(F.col("_hot_df") / F.lit(max_postings_per_row))
+            salt = F.when(
+                F.col("_hot_df").isNotNull(),
+                F.floor(F.col("doc_id") * n_rows / F.lit(n_docs)),
+            ).otherwise(F.lit(0))
+            terms = terms.withColumn("salt", salt.cast("int")).withColumn(
+                "n_buckets", F.lit(n_buckets)
+            ).drop("_hot_df")
+            (
+                terms.groupBy("term", "salt")
+                .applyInPandas(_make_encoder(avgdl), SEGMENT_SCHEMA)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(p.segments + ".__tmp__")
+            )
+    if fail_after == "S3_segments":
+        raise RuntimeError("injected failure after S3_segments")
+
+    with open(p.meta, "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "block_size": BLOCK_SIZE,
+                "k1": BM25_K1,
+                "b": BM25_B,
+                "max_postings_per_row": max_postings_per_row,
+                "version": 1,
+            },
+            f,
+        )

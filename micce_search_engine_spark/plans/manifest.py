@@ -1,0 +1,165 @@
+"""Per-stage / per-partition lineage manifest with checkpoint-resume.
+
+Set-oriented re-expression of the reference's MySQL ``update_process``
+state machine (/root/reference/schema/ddl.sql:3-11) with statuses
+READY -> PROCESSING -> COMPLETED
+(/root/reference/reader/internal/repository/mysql/model/upsertCondition.go:11-17):
+
+  * each build stage atomically publishes its output directory
+    (write to ``<out>.__tmp__`` then rename — the parquet analog of the
+    reference's checkpoint-after-success,
+    /root/reference/indexer/internal/service/index_service.go:130-138);
+  * the manifest records one COMPLETED row per output file/partition
+    with rows/bytes/elapsed metrics (FIXTURES.md §4);
+  * resume: a stage whose marker says COMPLETED is skipped; a stage
+    found PROCESSING (crash mid-write) has its tmp dir cleaned and is
+    re-driven — the zombie-recovery analog
+    (/root/reference/reader/internal/service/read_service.go:283-329).
+
+Storage is plain parquet files appended to ``<index>/_manifest/`` —
+one file per status change, so appends are atomic at the file level
+(an Iceberg table on a real deployment).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+READY = "READY"
+PROCESSING = "PROCESSING"
+COMPLETED = "COMPLETED"
+
+_SCHEMA = pa.schema(
+    [
+        ("stage", pa.string()),
+        ("partition_id", pa.int32()),
+        ("status", pa.string()),
+        ("updated_at", pa.timestamp("us")),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("elapsed_ms", pa.int64()),
+    ]
+)
+
+
+class Manifest:
+    def __init__(self, index_dir: str):
+        self.dir = os.path.join(index_dir, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _append(self, rows: list[dict]) -> None:
+        pdf = pd.DataFrame(rows)
+        pdf["updated_at"] = pd.Timestamp.utcnow().tz_localize(None)
+        for c in ("rows_in", "rows_out", "bytes_out", "elapsed_ms"):
+            if c not in pdf:
+                pdf[c] = 0
+        table = pa.Table.from_pandas(
+            pdf[[f.name for f in _SCHEMA]], schema=_SCHEMA, preserve_index=False
+        )
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.dir, f"m-{time.time_ns()}-{uuid.uuid4().hex[:8]}.parquet"))
+
+    def read(self) -> pd.DataFrame:
+        files = [
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        if not files:
+            return pd.DataFrame(columns=[f.name for f in _SCHEMA])
+        return pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+
+    def stage_status(self, stage: str) -> str | None:
+        """Latest stage-level (partition_id = -1) status, or None."""
+        pdf = self.read()
+        pdf = pdf[(pdf["stage"] == stage) & (pdf["partition_id"] == -1)]
+        if pdf.empty:
+            return None
+        return pdf.sort_values("updated_at").iloc[-1]["status"]
+
+    def mark(self, stage: str, status: str, **metrics) -> None:
+        self._append([{"stage": stage, "partition_id": -1, "status": status, **metrics}])
+
+    def mark_partitions(self, stage: str, rows: list[dict]) -> None:
+        self._append([{"stage": stage, **r} for r in rows])
+
+
+def atomic_stage(manifest: Manifest, stage: str, out_dirs: list[str]):
+    """Context manager: run a stage body writing into tmp dirs, then
+    atomically publish + mark COMPLETED with per-file metrics."""
+    return _AtomicStage(manifest, stage, out_dirs)
+
+
+class _AtomicStage:
+    def __init__(self, manifest: Manifest, stage: str, out_dirs: list[str]):
+        self.m = manifest
+        self.stage = stage
+        self.out_dirs = out_dirs
+        self.tmp_dirs = [d + ".__tmp__" for d in out_dirs]
+        self.rows_in = 0
+
+    @property
+    def skipped(self) -> bool:
+        return self.m.stage_status(self.stage) == COMPLETED and all(
+            os.path.exists(d) for d in self.out_dirs
+        )
+
+    def __enter__(self):
+        # zombie recovery: clean any crashed previous attempt
+        for d in self.tmp_dirs + (
+            [] if self.m.stage_status(self.stage) == COMPLETED else self.out_dirs
+        ):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        self.m.mark(self.stage, PROCESSING)
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            return False  # stays PROCESSING -> zombie-recovered on resume
+        elapsed = int((time.monotonic() - self.t0) * 1000)
+        part_rows = []
+        for tmp, final in zip(self.tmp_dirs, self.out_dirs):
+            os.rename(tmp, final)
+            pid = 0
+            for root, _dirs, files in os.walk(final):
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, f)
+                    try:
+                        nrows = pq.ParquetFile(p).metadata.num_rows
+                    except Exception:
+                        nrows = 0
+                    part_rows.append(
+                        {
+                            "partition_id": pid,
+                            "status": COMPLETED,
+                            "rows_in": self.rows_in,
+                            "rows_out": nrows,
+                            "bytes_out": os.path.getsize(p),
+                            "elapsed_ms": elapsed,
+                        }
+                    )
+                    pid += 1
+        if part_rows:
+            self.m.mark_partitions(self.stage, part_rows)
+        self.m.mark(
+            self.stage,
+            COMPLETED,
+            rows_in=self.rows_in,
+            rows_out=sum(r["rows_out"] for r in part_rows),
+            bytes_out=sum(r["bytes_out"] for r in part_rows),
+            elapsed_ms=elapsed,
+        )
+        return False

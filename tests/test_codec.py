@@ -1,0 +1,94 @@
+"""Property tests for the posting codec (SURVEY.md §5 item 1)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from micce_search_engine_spark.functions.codec import (
+    decode_postings,
+    encode_postings,
+    merge_encoded,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500)
+)
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(arr)), arr)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=1000),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip(docset, rng):
+    docs = np.array(sorted(docset), dtype=np.int64)
+    tfs = np.array([rng.randint(1, 50) for _ in docs], dtype=np.int64)
+    wf = tfs * 2.2 / (tfs + 1.0)
+    enc = encode_postings(docs, tfs, wf)
+    d, t, dl = decode_postings(enc)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(dl, np.zeros_like(tfs))
+    assert enc["df"] == len(docs)
+    assert enc["cf"] == int(tfs.sum())
+
+
+def test_block_subset_decode():
+    docs = np.arange(0, 1000, 3, dtype=np.int64)  # 334 docs -> 3 blocks
+    tfs = (docs % 7 + 1).astype(np.int64)
+    enc = encode_postings(docs, tfs, tfs.astype(float), docs + 1)
+    n_blocks = len(enc["block_first_doc"])
+    assert n_blocks == 3
+    mask = np.zeros(n_blocks, dtype=bool)
+    mask[1] = True
+    d, t, _ = decode_postings(enc, mask)
+    assert np.array_equal(d, docs[128:256])
+    assert np.array_equal(t, tfs[128:256])
+
+
+def test_blockmax_is_true_upper_bound():
+    rng = np.random.default_rng(42)
+    docs = np.sort(rng.choice(10**6, size=5000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 100, size=5000).astype(np.int64)
+    wf = tfs * 2.2 / (tfs + 0.7)
+    enc = encode_postings(docs, tfs, wf)
+    starts = np.arange(0, 5000, 128)
+    for bi, s in enumerate(starts):
+        e = min(s + 128, 5000)
+        assert enc["block_max_wf"][bi] >= wf[s:e].max() - 1e-15
+        assert enc["block_max_tf"][bi] == tfs[s:e].max()
+        assert enc["block_first_doc"][bi] == docs[s]
+        assert enc["block_last_doc"][bi] == docs[e - 1]
+
+
+def test_merge_encoded_equals_single_encode():
+    rng = np.random.default_rng(7)
+    docs = np.sort(rng.choice(10**5, size=1000, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=1000).astype(np.int64)
+    wf = tfs.astype(float)
+    cut = 517
+    merged = merge_encoded(
+        [
+            encode_postings(docs[cut:], tfs[cut:], wf[cut:], docs[cut:] * 2),
+            encode_postings(docs[:cut], tfs[:cut], wf[:cut], docs[:cut] * 2),
+        ]
+    )
+    d, t, dl = decode_postings(merged)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(dl, docs * 2)
+    assert merged["df"] == 1000
+    assert merged["max_tf"] == int(tfs.max())
+
+
+def test_empty_varbyte():
+    assert varbyte_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert varbyte_decode(b"").size == 0
