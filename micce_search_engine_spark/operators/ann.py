@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, an LSH-bucketed
+(random-hyperplane SimHash) variant as the scale path, and
+embedding-cosine near-dup pairs for dedup pipelines.
+
+All vector math is Column-native (``zip_with`` dot products,
+``aggregate`` norms) so it stays in whole-stage codegen; the LSH
+variant turns the O(N) scan into a bucket-pruned scan. For true
+10^12-scale ANN you would persist the bucketed table partitioned by
+(plane-signature prefix) — the bucketing here is exactly that layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine_to_query(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
+    """Adds a ``cosine`` column vs a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    return df.withColumn(
+        "cosine",
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).cast("double"),
+    )
+
+
+def brute_force_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k: distributed scan + TakeOrderedAndProject."""
+    return (
+        cosine_to_query(df, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame, dim: int, n_planes: int = 8, seed: int = 42, vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign pattern of
+    ``n_planes`` fixed Gaussian projections)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        p = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(_dot(F.col(vec_col), p) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(2**i).cast("long"))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_probes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within the
+    query bucket's multi-probe set (the query bucket + single-bit
+    flips, nearest planes first)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    q = np.asarray(query_vec, dtype=np.float64)
+    proj = planes @ q
+    qbucket = int(sum((1 << i) for i in range(n_planes) if proj[i] > 0))
+    # multi-probe: flip the planes the query is closest to first
+    flip_order = np.argsort(np.abs(proj))
+    probes = [qbucket] + [qbucket ^ (1 << int(i)) for i in flip_order[: max(n_probes - 1, 0)]]
+    bucketed = hyperplane_buckets(df, dim, n_planes, seed, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return (
+        cosine_to_query(cand, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. ``exact=True`` does the full
+    self-join (oracle-checkable at test scale); default prunes the
+    self-join to same-LSH-bucket pairs (vectors at cosine>=0.9 collide
+    with high probability across 6 planes)."""
+    if exact:
+        left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        b = hyperplane_buckets(df, dim, n_planes, seed, vec_col)
+        left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+        right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+        pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).cast("double"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

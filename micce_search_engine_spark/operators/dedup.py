@@ -1,0 +1,222 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — the
+operations a 10^12-document Common-Crawl pipeline runs before indexing
+(embedding-cosine near-dup lives in operators/ann.py).
+
+Design for scale:
+  * exact dedup = one hash-groupBy (map-side partial agg);
+  * n-gram Jaccard joins candidates on SHARED SHINGLES only (never a
+    cross join), so cost ~ sum of shingle-bucket squares — with a
+    hot-shingle cap to bound the worst bucket;
+  * MinHash/LSH bands the signature so the candidate join touches only
+    same-bucket pairs (band-join, the standard LSH trick);
+  * hash functions are md5-derived (not Spark's internal hash) so an
+    independent engine (DuckDB oracle) reproduces them bit-for-bit.
+
+All hashing is Column-native (md5/conv/substring) — JVM-side codegen,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from micce_search_engine_spark.functions.text_analysis import fingerprint, tokens_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per exact (md5-of-lowercased-text) group.
+    Returns (doc_id, fp, group_size)."""
+    fp = df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("group_size")
+    ).select("doc_id", "fp", "group_size")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = tokens_col(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard >= threshold.
+
+    Candidates come from a self-join on shared shingles (skipping
+    shingles shared by more than ``max_shingle_df`` docs — at threshold
+    ~0.8 a true near-dup pair shares many shingles, so dropping the
+    hottest ones loses no pairs in practice while bounding skew).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf")).filter(
+        F.col("sdf") > max_shingle_df
+    ).select("shingle")
+    cold = sh.join(hot, "shingle", "left_anti")
+    a = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _md5_hash64(col, seed: int):
+    """Deterministic 32-bit-range hash from md5(seed || value) — cheap to
+    mirror in ANSI SQL: strtol(substr(md5(...),1,8),16)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}#"), col)), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signature over n-gram shingles."""
+    sh = shingles(df, text_col, id_col, n)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding, verified by exact
+    n-gram Jaccard. Returns (doc_a, doc_b, jaccard).
+
+    bands * rows_per_band == num_hashes; a pair is a candidate iff some
+    band's sub-signature matches exactly (bucket join — no cross join).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[bi * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = shingles(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a2 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a2.join(b2, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over unigram tf weights: (doc_id, simhash long).
+
+    bit_i(doc) = 1 iff sum over terms of tf * (+1 if bit_i(h(term)) else -1) > 0,
+    with h = md5-derived (SQL-reproducible).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", _md5_hash64(F.col("term"), 0))
+    )
+    exploded = toks.select(
+        "doc_id",
+        "tf",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        # shiftright/shiftleft take only literal shift amounts, so use
+        # exact power-of-two double math (h < 2^32 << 2^53)
+        "contrib",
+        F.when(
+            F.expr("CAST(FLOOR(h / POWER(2.0D, bit)) AS BIGINT) % 2") == 1,
+            F.col("tf"),
+        ).otherwise(-F.col("tf")),
+    )
+    bitsum = exploded.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("CAST(POWER(2.0D, bit) AS BIGINT)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
