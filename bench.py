@@ -1,0 +1,154 @@
+"""Per-round benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline suite:
+  * index_build      — full inverted-index build (tokenize -> stats ->
+                       salted segments) over a deterministic synthetic
+                       pages corpus (BENCH_DOCS docs, FIXTURES.md rules;
+                       corpus generation cached in /tmp, excluded from
+                       timing) — reported also as docs_per_sec;
+  * batch100         — 100-query batched BM25 evaluation (one plan);
+  * q_* singles      — interactive-path single-query latencies (p50);
+  * minhash_lsh/ann  — pipeline-op throughput on $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 100000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from micce_search_engine_spark.corpus import (  # noqa: E402
+    gen_pages,
+    gen_queries,
+    gen_synonyms,
+    pages_spark_schema,
+)
+from micce_search_engine_spark.session import get_spark  # noqa: E402
+
+
+def ensure_corpus(spark, n: int) -> str:
+    path = f"/tmp/mse_bench_corpus/n{n}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        # generate in chunks to bound driver memory
+        chunk = 50_000
+        first = True
+        for start in range(0, n, chunk):
+            m = min(chunk, n - start)
+            pdf = gen_pages(m, seed=42 + start, start=start)
+            df = spark.createDataFrame(pdf, schema=pages_spark_schema())
+            df.write.mode("overwrite" if first else "append").parquet(path)
+            first = False
+        open(marker, "w").close()
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+
+    from micce_search_engine_spark.operators.batch_query import search_batch
+    from micce_search_engine_spark.operators.index_build import build_index
+    from micce_search_engine_spark.operators.query import SearchEngine
+
+    timings: dict[str, float] = {}
+
+    corpus_path = ensure_corpus(spark, n_docs)
+    pages = spark.read.parquet(corpus_path)
+
+    index_dir = f"/tmp/mse_bench_index/c{cpus}_n{n_docs}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    build_index(spark, pages, index_dir, n_buckets=32, max_postings_per_row=200_000)
+    timings["index_build"] = time.monotonic() - t0
+
+    synonyms = dict(gen_synonyms())
+    eng = SearchEngine(spark, index_dir, synonyms=synonyms)
+
+    qset = gen_queries(seed=42, n=100)
+    specs = [
+        {
+            "query_id": int(r.query_id),
+            "query_text": r.query_text,
+            "lang_filter": r.lang_filter if isinstance(r.lang_filter, str) else None,
+            "limit": int(r.limit),
+            "page": int(r.page),
+        }
+        for r in qset.itertuples()
+    ]
+    t0 = time.monotonic()
+    n_batch_rows = search_batch(eng, specs).count()
+    timings["batch100"] = time.monotonic() - t0
+
+    single_qs = {
+        "q_stopword": ("the", None),
+        "q_hot_term": ("w000000", None),
+        "q_and2": ("w000001 w000003", None),
+        "q_synonym": ("alias0", None),
+        "q_lang": ("w000002", "ja"),
+    }
+    lat = []
+    for name, (qt, lf) in single_qs.items():
+        t0 = time.monotonic()
+        eng.search(qt, lang_filter=lf, limit=10, page=1)
+        timings[name] = time.monotonic() - t0
+        lat.append(timings[name])
+    timings["q_p50"] = statistics.median(lat)
+
+    t0 = time.monotonic()
+    eng.search("the", limit=10, page=1, topk_only=True)
+    timings["q_wand_stopword"] = time.monotonic() - t0
+
+    # pipeline ops on the driver-provided sf tables
+    from pyspark.sql import functions as F
+
+    from micce_search_engine_spark.operators.ann import brute_force_topk
+    from micce_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.monotonic()
+    minhash_lsh_pairs(docs, threshold=0.5).count()
+    timings["minhash_lsh"] = time.monotonic() - t0
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    t0 = time.monotonic()
+    brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10).collect()
+    timings["ann_topk"] = time.monotonic() - t0
+
+    total = sum(v for k, v in timings.items() if k != "q_p50")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "index-build + BM25 query suite (synthetic pages corpus "
+        f"n={n_docs}, local[{cpus}])",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "batch_queries_per_sec": round(100.0 / timings["batch100"], 2),
+        "batch_rows": int(n_batch_rows),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

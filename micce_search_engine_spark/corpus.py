@@ -29,13 +29,15 @@ def _zipf_probs(s: float = 1.07, n: int = VOCAB_SIZE) -> np.ndarray:
     return p / p.sum()
 
 
-def gen_pages(n: int, seed: int = 42) -> pd.DataFrame:
-    """FIXTURES.md §1 generation rules (normative)."""
+def gen_pages(n: int, seed: int = 42, start: int = 0) -> pd.DataFrame:
+    """FIXTURES.md §1 generation rules (normative). ``start`` offsets the
+    row index i (urls/timestamps/langs) so chunked generation of a large
+    corpus keeps urls globally unique."""
     rng = np.random.default_rng(seed)
     vocab = _vocab()
     probs = _zipf_probs()
 
-    i = np.arange(n)
+    i = np.arange(start, start + n)
     url = np.array([f"https://site{k // 10}.example/page{k}" for k in i])
     warc_ts = pd.Timestamp("2024-01-01T00:00:00Z").tz_localize(None) + pd.to_timedelta(
         i * 37, unit="s"

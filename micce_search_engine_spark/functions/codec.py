@@ -30,11 +30,11 @@ import numpy as np
 from micce_search_engine_spark import BLOCK_SIZE
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128-style varbyte: 7 data bits/byte, MSB=continuation."""
+def _varbyte_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte encode returning (byte stream, bytes-per-value)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -58,7 +58,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     # continuation bit on every byte except the last of each value
     is_last = idx == (ends[owner] - 1)
     out[~is_last] |= 0x80
-    return out.tobytes()
+    return out, nbits
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128-style varbyte: 7 data bits/byte, MSB=continuation."""
+    return _varbyte_encode_with_sizes(values)[0].tobytes()
 
 
 def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -201,6 +206,119 @@ def decode_postings(
         np.concatenate(tfs_out),
         np.concatenate(dls_out),
     )
+
+
+def encode_many(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    wf: np.ndarray,
+) -> list[dict]:
+    """Batch-vectorized encode of MANY terms' postings at once.
+
+    ``starts``/``ends`` delimit each group (term,salt) within the
+    concatenated, per-group-doc_id-sorted arrays. Semantically identical
+    to calling :func:`encode_postings` per group (tested), but performs
+    O(1) varbyte calls per batch instead of O(groups) — this is the hot
+    path of the whole index build (tens of thousands of Zipf-tail terms
+    per shuffle partition).
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    docs = np.asarray(docs, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    wf = np.asarray(wf, dtype=np.float64)
+    n = docs.size
+    g = starts.size
+    if n == 0:
+        return []
+    sizes = ends - starts
+    owner = np.repeat(np.arange(g, dtype=np.int64), sizes)
+    ix = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    bf = (ix % BLOCK_SIZE) == 0  # block-first positions (group starts included)
+
+    bstarts = np.flatnonzero(bf)
+    bends = np.append(bstarts[1:], n)
+    block_group = owner[bstarts]
+    block_n = (bends - bstarts).astype(np.int32)
+    block_first = docs[bstarts]
+    block_last = docs[bends - 1]
+    block_max_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+    block_max_wf = np.maximum.reduceat(wf, bstarts)
+
+    # --- doc-id delta stream (block-first values excluded) ------------
+    diffs = np.empty(n, dtype=np.int64)
+    diffs[0] = 0
+    diffs[1:] = docs[1:] - docs[:-1]
+    keep = ~bf
+    doc_stream, doc_sizes = _varbyte_encode_with_sizes(diffs[keep].astype(np.uint64))
+    blen = np.zeros(n, dtype=np.int64)
+    blen[keep] = doc_sizes
+    byte_end = np.cumsum(blen)
+    byte_start = byte_end - blen
+    # byte range of each block within the global stream: the block-first
+    # position contributes 0 bytes, so byte_start at bstarts is exactly
+    # where this block's delta bytes begin
+    blk_doc_s = byte_start[bstarts]
+    blk_doc_e = byte_end[bends - 1]
+
+    def _streams(vals: np.ndarray):
+        stream, vsizes = _varbyte_encode_with_sizes(vals.astype(np.uint64))
+        e = np.cumsum(vsizes)
+        s = e - vsizes
+        return stream, s[bstarts], e[bends - 1]
+
+    tf_stream, blk_tf_s, blk_tf_e = _streams(tfs)
+    dl_stream, blk_dl_s, blk_dl_e = _streams(dls)
+
+    # --- per-group reductions ------------------------------------------
+    grp_cf = np.add.reduceat(tfs, starts)
+    grp_max_tf = np.maximum.reduceat(tfs, starts)
+    grp_max_wf = np.maximum.reduceat(wf, starts)
+    gb_bounds = np.searchsorted(block_group, np.arange(g + 1))
+
+    doc_bytes = doc_stream.tobytes()
+    tf_bytes = tf_stream.tobytes()
+    dl_bytes = dl_stream.tobytes()
+
+    out = []
+    for gi in range(g):
+        b0, b1 = gb_bounds[gi], gb_bounds[gi + 1]
+        # within a group, block byte ranges are contiguous (block-first
+        # values contribute 0 bytes), so the group's blob starts at its
+        # first block's start
+        gds = int(blk_doc_s[b0])
+        gts = int(blk_tf_s[b0])
+        gls = int(blk_dl_s[b0])
+        out.append(
+            {
+                "df": int(sizes[gi]),
+                "cf": int(grp_cf[gi]),
+                "max_tf": int(grp_max_tf[gi]),
+                "max_wf": float(grp_max_wf[gi]),
+                "block_first_doc": block_first[b0:b1].tolist(),
+                "block_last_doc": block_last[b0:b1].tolist(),
+                "block_n": block_n[b0:b1].tolist(),
+                "block_max_tf": block_max_tf[b0:b1].tolist(),
+                "block_max_wf": block_max_wf[b0:b1].tolist(),
+                "block_doc_off": (
+                    np.append(blk_doc_s[b0:b1], blk_doc_e[b1 - 1]) - gds
+                ).tolist(),
+                "block_tf_off": (
+                    np.append(blk_tf_s[b0:b1], blk_tf_e[b1 - 1]) - gts
+                ).tolist(),
+                "block_dl_off": (
+                    np.append(blk_dl_s[b0:b1], blk_dl_e[b1 - 1]) - gls
+                ).tolist(),
+                "doc_blob": doc_bytes[gds : int(blk_doc_e[b1 - 1])],
+                "tf_blob": tf_bytes[gts : int(blk_tf_e[b1 - 1])],
+                "dl_blob": dl_bytes[gls : int(blk_dl_e[b1 - 1])],
+            }
+        )
+    return out
 
 
 def merge_encoded(parts: list[dict]) -> dict:

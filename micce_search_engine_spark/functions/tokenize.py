@@ -29,9 +29,14 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
 def tokenize_text(text: str | None) -> list[str]:
-    """Deterministic token stream for one document or query string."""
+    """Deterministic token stream for one document or query string.
+
+    ASCII fast path: NFKC is the identity on ASCII, so skipping the
+    normalize call changes nothing (output stays byte-identical)."""
     if text is None:
         return []
+    if text.isascii():
+        return _WORD_RE.findall(text.lower())
     return _WORD_RE.findall(unicodedata.normalize("NFKC", text).lower())
 
 

@@ -92,6 +92,16 @@ def compile_query_tables(
     return qmeta, qbranch, all_terms
 
 
+def _branches_df(spark: SparkSession, queries: list[dict], synonyms) -> DataFrame:
+    rows = [
+        (int(q["query_id"]), expand_branches(q["query_text"], synonyms))
+        for q in queries
+    ]
+    return spark.createDataFrame(
+        rows, "query_id long, branches array<array<string>>"
+    )
+
+
 def search_batch(
     engine: SearchEngine,
     queries: list[dict],
@@ -134,25 +144,22 @@ def search_batch(
     )
     scored = contrib.groupBy("query_id", "doc_id").agg(
         F.aggregate(
-            F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+            F.sort_array(F.collect_set(F.struct("term", "contrib"))),
             F.lit(0.0),
             lambda acc, x: acc + x["contrib"],
         ).alias("score"),
         F.collect_set("term").alias("matched"),
     )
-    # branch matching: doc satisfies a branch iff it matched ALL its terms
-    doc_terms = scored.select(
-        "query_id", "doc_id", F.explode("matched").alias("term"), "score"
+    # branch matching in-place: doc is a candidate iff SOME branch has
+    # ALL its terms matched — a broadcast join of the per-query branch
+    # structure + exists/forall, no extra shuffle
+    branches_df = _branches_df(spark, queries, engine.synonyms)
+    cand = scored.join(F.broadcast(branches_df), "query_id").filter(
+        F.exists(
+            F.col("branches"),
+            lambda b: F.forall(b, lambda t: F.array_contains(F.col("matched"), t)),
+        )
     )
-    branch_hits = (
-        doc_terms.join(F.broadcast(qbranch), ["query_id", "term"])
-        .groupBy("query_id", "doc_id", "branch_id", "branch_size")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-        .filter(F.col("n_matched") == F.col("branch_size"))
-        .select("query_id", "doc_id")
-        .distinct()
-    )
-    cand = scored.join(branch_hits, ["query_id", "doc_id"], "left_semi")
 
     # per-query exact lang filter (category analog, spot.sd:24-28)
     cand = cand.join(F.broadcast(qmeta), "query_id")
@@ -195,13 +202,18 @@ def totals_batch(engine: SearchEngine, queries: list[dict]) -> DataFrame:
             F.lit(True).alias("last_page"),
         )
     postings = engine._postings(all_terms).select("term", "doc_id")
-    branch_hits = (
-        postings.join(F.broadcast(qbranch), "term")
-        .groupBy("query_id", "doc_id", "branch_id", "branch_size")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-        .filter(F.col("n_matched") == F.col("branch_size"))
-        .select("query_id", "doc_id")
-        .distinct()
+    qterms = qbranch.select("query_id", "term").distinct()
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.collect_set("term").alias("matched"))
+    )
+    branches_df = _branches_df(spark, queries, engine.synonyms)
+    branch_hits = matched.join(F.broadcast(branches_df), "query_id").filter(
+        F.exists(
+            F.col("branches"),
+            lambda b: F.forall(b, lambda t: F.array_contains(F.col("matched"), t)),
+        )
     )
     docs_lang = spark.read.parquet(engine.paths.docs).select("doc_id", "lang")
     counted = (

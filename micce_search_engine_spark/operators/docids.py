@@ -22,8 +22,13 @@ from pyspark.sql import functions as F
 def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
     spark = pages.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # Rank ONLY the key column: the range shuffle and sampling pass then
+    # touch a single pruned string column, never the html payload; the
+    # final equi-join moves full rows exactly once (and goes broadcast
+    # when the id map is small enough).
     parts = (
-        pages.repartitionByRange(n, "url")
+        pages.select("url")
+        .repartitionByRange(n, "url")
         .sortWithinPartitions("url")
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -43,13 +48,9 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataF
         )
     )
     w = Window.partitionBy("_pid").orderBy("url")
-    out = (
+    ids = (
         parts.join(offsets_df, "_pid")
-        .withColumn(
-            "doc_id", F.col("_offset") + F.row_number().over(w) - F.lit(1)
-        )
-        .drop("_pid", "_offset")
+        .withColumn("doc_id", F.col("_offset") + F.row_number().over(w) - F.lit(1))
+        .select("url", "doc_id")
     )
-    # Materialization note: callers persist the result (write to the
-    # pages-with-ids table) before unpersisting `parts`.
-    return out
+    return pages.join(ids, "url")

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from micce_search_engine_spark import BLOCK_SIZE, BM25_B, BM25_K1
-from micce_search_engine_spark.functions.codec import encode_postings
+from micce_search_engine_spark.functions.codec import encode_many
 from micce_search_engine_spark.functions.tokenize import tokenize_udf
 from micce_search_engine_spark.operators.docids import assign_doc_ids
 from micce_search_engine_spark.plans.manifest import Manifest, atomic_stage
@@ -69,11 +69,21 @@ class IndexPaths:
         self.meta = os.path.join(index_dir, "meta.json")
 
 
-def _make_encoder(avgdl: float):
-    """Grouped-map encoder for one (term, salt) group -> one segment row."""
+def _make_partition_encoder(avgdl: float, n_buckets: int):
+    """Sort-based streaming encoder over a (term,salt)-partitioned,
+    (term,salt,doc_id)-sorted partition.
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
+    Arrow hands us ~10k-row batches; a (term,salt) group may straddle a
+    batch boundary, so the tail group of each batch is buffered and
+    prepended to the next. Group boundaries are found with numpy, the
+    BM25 weight is computed vectorized over the whole batch, and only
+    the varbyte encode loops per group — this amortizes the per-group
+    Python/Arrow overhead that a grouped-map (one pandas frame per
+    term) would pay ~50k times per shuffle partition."""
+
+    def _emit(pdf: pd.DataFrame):
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy(dtype=np.int64)
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
@@ -82,32 +92,43 @@ def _make_encoder(avgdl: float):
             * (BM25_K1 + 1.0)
             / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
         )
-        enc = encode_postings(docs, tfs, wf, dls)
-        term = pdf["term"].iloc[0]
-        n_buckets = int(pdf["n_buckets"].iloc[0])
-        row = {
-            "term": [term],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "bucket": [bucket_of(term, n_buckets)],
-            "df": [enc["df"]],
-            "cf": [enc["cf"]],
-            "max_tf": [enc["max_tf"]],
-            "max_wf": [enc["max_wf"]],
-            "block_first_doc": [enc["block_first_doc"]],
-            "block_last_doc": [enc["block_last_doc"]],
-            "block_n": [enc["block_n"]],
-            "block_max_tf": [enc["block_max_tf"]],
-            "block_max_wf": [enc["block_max_wf"]],
-            "block_doc_off": [enc["block_doc_off"]],
-            "block_tf_off": [enc["block_tf_off"]],
-            "block_dl_off": [enc["block_dl_off"]],
-            "doc_blob": [enc["doc_blob"]],
-            "tf_blob": [enc["tf_blob"]],
-            "dl_blob": [enc["dl_blob"]],
-        }
-        return pd.DataFrame(row)
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        rows = encode_many(starts, ends, docs, tfs, dls, wf)
+        gterms = terms[starts]
+        gsalts = salts[starts]
+        for gi, enc in enumerate(rows):
+            enc["term"] = gterms[gi]
+            enc["salt"] = int(gsalts[gi])
+            enc["bucket"] = bucket_of(gterms[gi], n_buckets)
+        yield pd.DataFrame(rows)
 
-    return encode_group
+    def encode_partition(it):
+        buf: pd.DataFrame | None = None
+        for pdf in it:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_t = pdf["term"].iat[-1]
+            last_s = pdf["salt"].iat[-1]
+            tail = int(
+                (
+                    (pdf["term"].to_numpy() == last_t)
+                    & (pdf["salt"].to_numpy(dtype=np.int64) == last_s)
+                ).sum()
+            )
+            split = len(pdf) - tail
+            buf = pdf.iloc[split:]
+            if split:
+                yield from _emit(pdf.iloc[:split])
+        if buf is not None and len(buf):
+            yield from _emit(buf)
+
+    return encode_partition
 
 
 def build_index(
@@ -201,12 +222,20 @@ def build_index(
                 F.col("_hot_df").isNotNull(),
                 F.floor(F.col("doc_id") * n_rows / F.lit(n_docs)),
             ).otherwise(F.lit(0))
-            terms = terms.withColumn("salt", salt.cast("int")).withColumn(
-                "n_buckets", F.lit(n_buckets)
-            ).drop("_hot_df")
+            terms = terms.withColumn("salt", salt.cast("int")).drop("_hot_df")
+            # explicit partition count: with AQE on, repartition(cols)
+            # may coalesce to 1 tiny partition and serialize the encode
+            n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
             (
-                terms.groupBy("term", "salt")
-                .applyInPandas(_make_encoder(avgdl), SEGMENT_SCHEMA)
+                terms.repartition(n_shuffle, "term", "salt")
+                .sortWithinPartitions("term", "salt", "doc_id")
+                .mapInPandas(_make_partition_encoder(avgdl, n_buckets), SEGMENT_SCHEMA)
+                # cluster encoded rows by bucket so the dynamic-partition
+                # writer emits one file per bucket instead of every task
+                # fanning out to all n_buckets dirs (and sort by term so
+                # parquet row-group min/max stats prune term lookups)
+                .repartition(n_buckets, "bucket")
+                .sortWithinPartitions("term", "salt")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(p.segments + ".__tmp__")

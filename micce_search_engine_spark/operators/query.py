@@ -56,6 +56,7 @@ def _decode_map(block_sel: dict | None):
 
     def fn(it):
         for pdf in it:
+            terms_out, docs_out, tfs_out, dls_out = [], [], [], []
             for row in pdf.to_dict("records"):
                 mask = None
                 if block_sel is not None:
@@ -66,14 +67,19 @@ def _decode_map(block_sel: dict | None):
                     mask[np.asarray(allowed, dtype=np.int64)] = True
                 docs, tfs, dls = decode_postings(row, mask)
                 if docs.size:
-                    yield pd.DataFrame(
-                        {
-                            "term": np.repeat(row["term"], docs.size),
-                            "doc_id": docs,
-                            "tf": tfs,
-                            "dl": dls,
-                        }
-                    )
+                    terms_out.append(np.repeat(row["term"], docs.size))
+                    docs_out.append(docs)
+                    tfs_out.append(tfs)
+                    dls_out.append(dls)
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_out),
+                        "doc_id": np.concatenate(docs_out),
+                        "tf": np.concatenate(tfs_out),
+                        "dl": np.concatenate(dls_out),
+                    }
+                )
 
     return fn
 

@@ -7,6 +7,7 @@ from hypothesis import strategies as st
 
 from micce_search_engine_spark.functions.codec import (
     decode_postings,
+    encode_many,
     encode_postings,
     merge_encoded,
     varbyte_decode,
@@ -87,6 +88,45 @@ def test_merge_encoded_equals_single_encode():
     assert np.array_equal(dl, docs * 2)
     assert merged["df"] == 1000
     assert merged["max_tf"] == int(tfs.max())
+
+
+def test_encode_many_matches_per_group():
+    """encode_many must be bit-identical to per-group encode_postings."""
+    rng = np.random.default_rng(11)
+    groups = []
+    for _ in range(200):
+        size = int(rng.zipf(1.4))
+        size = min(size, 5000)
+        docs = np.sort(rng.choice(10**7, size=size, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 30, size=size).astype(np.int64)
+        dls = rng.integers(1, 2000, size=size).astype(np.int64)
+        wf = tfs * 2.2 / (tfs + 0.3 * dls)
+        groups.append((docs, tfs, dls, wf))
+    starts, ends, off = [], [], 0
+    for docs, *_ in groups:
+        starts.append(off)
+        off += docs.size
+        ends.append(off)
+    cat = lambda i: np.concatenate([g[i] for g in groups])  # noqa: E731
+    # encode_many takes (starts, ends, docs, tfs, dls, wf)
+    many = encode_many(
+        np.array(starts), np.array(ends), cat(0), cat(1), cat(2), cat(3)
+    )
+    assert len(many) == len(groups)
+    for enc, (docs, tfs, dls, wf) in zip(many, groups):
+        single = encode_postings(docs, tfs, wf, dls)
+        for k in single:
+            got, exp = enc[k], single[k]
+            if isinstance(exp, bytes):
+                assert bytes(got) == exp, k
+            elif isinstance(exp, float):
+                assert abs(got - exp) < 1e-15, k
+            else:
+                assert got == exp, k
+        d, t, l = decode_postings(enc)
+        assert np.array_equal(d, docs)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(l, dls)
 
 
 def test_empty_varbyte():
