@@ -490,6 +490,95 @@ def _q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_decode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 analog: vectorized JSON decode of event payloads
+    (/root/reference/reader/internal/service/read_service.go:166-181)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def _q_semi_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 analog: point-lookup batch fetch as a broadcast left-semi join
+    (Firestore `WHERE id IN (<=30 ids)`,
+    /root/reference/reader/internal/repository/firestore/firestore_client.go:28-30)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ids = spark.createDataFrame([(k,) for k in range(1, 31)], "l_orderkey long")
+    return li.join(F.broadcast(ids), "l_orderkey", "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+def _docs_with_term(spark, sf_dir, term):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    return docs.filter(F.array_contains(toks, term)).select("doc_id")
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (Q2 OR=union family): intersect + except."""
+    a = _docs_with_term(spark, sf_dir, "spark")
+    b = _docs_with_term(spark, sf_dir, "join")
+    c = _docs_with_term(spark, sf_dir, "merge")
+    return a.intersect(b).exceptAll(c).select("doc_id")
+
+
+def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+def _q_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + running sum windows."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # double-precision epoch seconds on BOTH sides (DuckDB epoch() keeps
+    # the fractional part; a long cast would truncate differently)
+    # parquet stores TIMESTAMP_NTZ which can't cast straight to double;
+    # hop via timestamp (session TZ pinned UTC) to get epoch seconds
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = (sec - F.lag(sec).over(w)) > 1800.0
+    return (
+        ev.withColumn("new_sess", F.when(gap, 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
 def _q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -535,6 +624,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_agg_pricing_summary,
         "join_top_customers": _q_join_top_customers,
         "window_latest_event": _q_window_latest_event,
+        "json_decode_events": _q_json_decode_events,
+        "semi_join_lookup": _q_semi_join_lookup,
+        "set_ops": _q_set_ops,
+        "rollup_orders": _q_rollup_orders,
+        "median_prices": _q_median_prices,
+        "pivot_events": _q_pivot_events,
+        "sessionize_events": _q_sessionize_events,
     }
 
 
@@ -798,6 +894,55 @@ FROM (
   FROM orders GROUP BY 1
 ) r JOIN customer c ON r.o_custkey = c.c_custkey
 ORDER BY r.revenue DESC, c.c_custkey LIMIT 10
+"""
+    sqls["json_decode_events"] = """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val
+FROM events WHERE event_type = 'click'
+"""
+    sqls["semi_join_lookup"] = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem WHERE l_orderkey IN (
+  SELECT unnest(range(1, 31)))
+"""
+    sqls["set_ops"] = """
+WITH t AS (SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS toks FROM documents)
+(SELECT doc_id FROM t WHERE list_contains(toks, 'spark')
+ INTERSECT
+ SELECT doc_id FROM t WHERE list_contains(toks, 'join'))
+EXCEPT ALL
+SELECT doc_id FROM t WHERE list_contains(toks, 'merge')
+"""
+    sqls["rollup_orders"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+    sqls["median_prices"] = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 6)::DOUBLE AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6)::DOUBLE AS p90_price
+FROM orders GROUP BY o_orderstatus
+"""
+    sqls["pivot_events"] = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+    sqls["sessionize_events"] = """
+SELECT user_id, event_id,
+       sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
 """
     sqls["window_latest_event"] = """
 SELECT user_id, event_id, event_type

@@ -168,23 +168,59 @@ def search_batch(
         F.col("lang_filter").isNull() | (F.col("lang") == F.col("lang_filter"))
     )
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    wq = Window.partitionBy("query_id")
-    out = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .withColumn("total_hits", F.count(F.lit(1)).over(wq))
-        .filter(
-            (F.col("rn") > F.col("limit") * (F.col("page") - 1))
-            & (F.col("rn") <= F.col("limit") * F.col("page"))
+    # Distributed per-query top-k WITHOUT a global sort: every partition
+    # keeps a bounded running top-maxk per query (linear scan, memory
+    # <= n_queries*maxk rows), then one tiny window finalizes. totals
+    # are a plain hash aggregate. This is the per-group analog of
+    # Spark's TakeOrderedAndProject.
+    maxk = max(int(q["limit"]) * int(q["page"]) for q in queries)
+    cand = cand.select("query_id", "doc_id", "score").persist()
+    try:
+        totals = cand.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("total_hits")
         )
-        .withColumn(
-            "rank", (F.col("rn") - F.col("limit") * (F.col("page") - 1)).cast("int")
+
+        def local_topk(it):
+            import pandas as _pd
+
+            running = None
+            for pdf in it:
+                pool = pdf if running is None else _pd.concat([running, pdf])
+                running = (
+                    pool.sort_values(
+                        ["query_id", "score", "doc_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(maxk)
+                )
+            if running is not None and len(running):
+                yield running
+
+        pruned = cand.mapInPandas(
+            local_topk, "query_id long, doc_id long, score double"
         )
-        .withColumn(
-            "last_page", F.col("total_hits") - F.col("limit") * F.col("page") <= 0
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        out = (
+            pruned.withColumn("rn", F.row_number().over(w))
+            .join(F.broadcast(qmeta.select("query_id", "limit", "page")), "query_id")
+            .filter(
+                (F.col("rn") > F.col("limit") * (F.col("page") - 1))
+                & (F.col("rn") <= F.col("limit") * F.col("page"))
+            )
+            .join(F.broadcast(totals), "query_id")
+            .withColumn(
+                "rank", (F.col("rn") - F.col("limit") * (F.col("page") - 1)).cast("int")
+            )
+            .withColumn(
+                "last_page", F.col("total_hits") - F.col("limit") * F.col("page") <= 0
+            )
+            .select("query_id", "doc_id", "score", "rank", "total_hits", "last_page")
         )
-        .select("query_id", "doc_id", "score", "rank", "total_hits", "last_page")
-    )
+        # materialize while cand is cached (one pass for totals+topk)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()
     return out
 
 

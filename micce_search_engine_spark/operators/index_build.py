@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 
 from micce_search_engine_spark import BLOCK_SIZE, BM25_B, BM25_K1
 from micce_search_engine_spark.functions.codec import encode_many
-from micce_search_engine_spark.functions.tokenize import tokenize_udf
 from micce_search_engine_spark.operators.docids import assign_doc_ids
 from micce_search_engine_spark.plans.manifest import Manifest, atomic_stage
 
@@ -67,6 +66,55 @@ class IndexPaths:
         self.term_stats = os.path.join(index_dir, "term_stats")
         self.segments = os.path.join(index_dir, "segments")
         self.meta = os.path.join(index_dir, "meta.json")
+
+
+TERMS_SCHEMA = "doc_id long, term string, tf long, dl long"
+
+
+def _tokenize_count(it):
+    """mapInArrow: pages RecordBatches -> (doc_id, term, tf, dl) rows.
+
+    Tokenizing AND term-counting in one pass emits one row per unique
+    (doc, term) instead of shipping every token occurrence through an
+    explode + hash aggregate (at web scale that's ~2x fewer rows and
+    one fewer full shuffle). Docs with no tokens emit nothing; doc
+    metadata (dl=0 included) is reconstructed by the caller.
+
+    Arrow-native in AND out: building pa.RecordBatch directly skips the
+    pandas object-array intermediate, which measured 3x slower for the
+    14M-string output column."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from micce_search_engine_spark.functions.tokenize import tokenize_text
+
+    for batch in it:
+        ids = batch.column(0).to_pylist()
+        texts = batch.column(1).to_pylist()
+        doc_ids = []
+        terms: list[str] = []
+        tfs = []
+        dls = []
+        for doc_id, text in zip(ids, texts):
+            toks = tokenize_text(text)
+            if not toks:
+                continue
+            c = Counter(toks)
+            doc_ids.append(np.full(len(c), doc_id, dtype=np.int64))
+            terms.extend(c.keys())
+            tfs.append(np.fromiter(c.values(), dtype=np.int64, count=len(c)))
+            dls.append(np.full(len(c), len(toks), dtype=np.int64))
+        if doc_ids:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(doc_ids)),
+                    pa.array(terms, type=pa.string()),
+                    pa.array(np.concatenate(tfs)),
+                    pa.array(np.concatenate(dls)),
+                ],
+                names=["doc_id", "term", "tf", "dl"],
+            )
 
 
 def _make_partition_encoder(avgdl: float, n_buckets: int):
@@ -161,26 +209,27 @@ def build_index(
                 with_ids = assign_doc_ids(pages)
             else:
                 with_ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
-            tok = with_ids.withColumn("tokens", tokenize_udf(F.col("text")))
-            tok = tok.withColumn("dl", F.coalesce(F.size("tokens"), F.lit(0)))
-            tok = tok.persist()
-            st.rows_in = tok.count()
-            doc_cols = ["doc_id", "url", "lang", "dl"] + (
-                ["warc_ts"] if has_ts else []
-            )
+            with_ids = with_ids.persist()
+            st.rows_in = with_ids.count()
+            # one Python pass: tokenize + per-doc term counts
             (
-                tok.select(*doc_cols)
+                with_ids.select("doc_id", "text")
+                .mapInArrow(_tokenize_count, TERMS_SCHEMA)
+                .write.mode("overwrite")
+                .parquet(p.terms + ".__tmp__")
+            )
+            terms = spark.read.parquet(p.terms + ".__tmp__")
+            doc_len = terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            doc_cols = ["doc_id", "url", "lang"] + (["warc_ts"] if has_ts else [])
+            (
+                with_ids.select(*doc_cols)
+                .join(doc_len, "doc_id", "left")
+                .withColumn("dl", F.coalesce("dl", F.lit(0)))
                 .write.mode("overwrite")
                 .partitionBy("lang")
                 .parquet(p.docs + ".__tmp__")
             )
-            terms = (
-                tok.select("doc_id", "dl", F.explode("tokens").alias("term"))
-                .groupBy("doc_id", "term", "dl")
-                .agg(F.count(F.lit(1)).alias("tf"))
-            )
-            terms.write.mode("overwrite").parquet(p.terms + ".__tmp__")
-            tok.unpersist()
+            with_ids.unpersist()
     if fail_after == "S1_tokenize":
         raise RuntimeError("injected failure after S1_tokenize")
 
@@ -243,6 +292,7 @@ def build_index(
     if fail_after == "S3_segments":
         raise RuntimeError("injected failure after S3_segments")
 
+    avgdl_built = float(spark.read.parquet(p.stats).collect()[0]["avgdl"])
     with open(p.meta, "w") as f:
         json.dump(
             {
@@ -251,6 +301,10 @@ def build_index(
                 "k1": BM25_K1,
                 "b": BM25_B,
                 "max_postings_per_row": max_postings_per_row,
+                # smallest avgdl any live segment row was encoded with;
+                # WAND bounds are derated by avgdl_now/min_avgdl_encoded
+                # after incremental upserts (see operators/upsert.py)
+                "min_avgdl_encoded": avgdl_built,
                 "version": 1,
             },
             f,

@@ -55,9 +55,12 @@ def _decode_map(block_sel: dict | None):
     """
 
     def fn(it):
-        for pdf in it:
-            terms_out, docs_out, tfs_out, dls_out = [], [], [], []
-            for row in pdf.to_dict("records"):
+        import pyarrow as pa
+
+        for batch in it:
+            rows = batch.to_pylist()
+            terms, sizes, docs_out, tfs_out, dls_out = [], [], [], [], []
+            for row in rows:
                 mask = None
                 if block_sel is not None:
                     allowed = block_sel.get((row["term"], row["salt"]))
@@ -67,18 +70,27 @@ def _decode_map(block_sel: dict | None):
                     mask[np.asarray(allowed, dtype=np.int64)] = True
                 docs, tfs, dls = decode_postings(row, mask)
                 if docs.size:
-                    terms_out.append(np.repeat(row["term"], docs.size))
+                    terms.append(row["term"])
+                    sizes.append(docs.size)
                     docs_out.append(docs)
                     tfs_out.append(tfs)
                     dls_out.append(dls)
             if docs_out:
-                yield pd.DataFrame(
-                    {
-                        "term": np.concatenate(terms_out),
-                        "doc_id": np.concatenate(docs_out),
-                        "tf": np.concatenate(tfs_out),
-                        "dl": np.concatenate(dls_out),
-                    }
+                # expand the per-row term to per-posting rows with a
+                # C-level take (Spark can't consume Arrow dictionary
+                # arrays directly)
+                idx = np.repeat(
+                    np.arange(len(terms), dtype=np.int64), np.asarray(sizes)
+                )
+                term_arr = pa.array(terms, type=pa.string()).take(pa.array(idx))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        term_arr,
+                        pa.array(np.concatenate(docs_out)),
+                        pa.array(np.concatenate(tfs_out)),
+                        pa.array(np.concatenate(dls_out)),
+                    ],
+                    names=["term", "doc_id", "tf", "dl"],
                 )
 
     return fn
@@ -101,15 +113,22 @@ class SearchEngine:
         self.N = int(stats["N"])
         self.avgdl = float(stats["avgdl"])
         self.synonyms = dict(synonyms or {})
+        # term dictionary is hot at query time — keep it cached (at
+        # true web scale this stays a filter-pushdown parquet lookup;
+        # persist() is a no-op benefit there and a big one locally)
+        self._term_stats = spark.read.parquet(self.paths.term_stats).persist()
+        # lossless WAND after incremental upserts: stored block bounds
+        # were encoded with a possibly-smaller avgdl; scaling them by
+        # avgdl_now/min_avgdl_encoded keeps them true upper bounds
+        # (wf(a2)/wf(a1) <= a2/a1 for a2 > a1 — see operators/upsert.py)
+        self.wand_derate = max(
+            1.0, self.avgdl / float(self.meta.get("min_avgdl_encoded", self.avgdl))
+        )
 
     # -- pieces -------------------------------------------------------
 
     def idf_map(self, terms: list[str]) -> dict[str, float]:
-        rows = (
-            self.spark.read.parquet(self.paths.term_stats)
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
+        rows = self._term_stats.filter(F.col("term").isin(terms)).collect()
         df = {r["term"]: int(r["df"]) for r in rows}
         return {
             t: math.log((self.N - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5) + 1.0)
@@ -125,7 +144,7 @@ class SearchEngine:
         )
 
     def _postings(self, terms: list[str], block_sel: dict | None = None) -> DataFrame:
-        return self._segments_for(terms).mapInPandas(
+        return self._segments_for(terms).mapInArrow(
             _decode_map(block_sel), _POSTING_SCHEMA
         )
 
@@ -193,7 +212,10 @@ class SearchEngine:
         idf_expr = F.create_map(
             *[x for t, v in sorted(idf.items()) for x in (F.lit(t), F.lit(float(v)))]
         )
-        blocks = meta_cols.withColumn("bound", idf_expr[F.col("term")] * F.col("bmax"))
+        blocks = meta_cols.withColumn(
+            "bound",
+            idf_expr[F.col("term")] * F.col("bmax") * F.lit(self.wand_derate),
+        )
         # global per-term upper bound
         term_ub = {
             r["term"]: r["ub"]

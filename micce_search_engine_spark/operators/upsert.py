@@ -20,7 +20,12 @@ posting lists a rebuild must touch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from micce_search_engine_spark.functions.tokenize import tokenize_udf
@@ -68,3 +73,196 @@ def affected_terms(old: DataFrame, new: DataFrame, key: str = "url") -> DataFram
         ).alias("term")
     )
     return toks.distinct()
+
+
+def apply_upsert(
+    spark: SparkSession,
+    index_dir: str,
+    old_pages: DataFrame,
+    updates: DataFrame,
+) -> DataFrame:
+    """Omit-nil MERGE + affected-partition index delta rebuild (I4).
+
+    The set-oriented analog of the reference's per-doc re-feed loop
+    (/root/reference/indexer/internal/service/index_service.go:159-172):
+    1. merged pages = omit-nil MERGE of ``updates`` into ``old_pages``;
+    2. changed docs keep their doc_ids; NEW urls are allocated ids
+       max_id+rank (append-only — a global re-rank would renumber every
+       later doc and force a full rebuild);
+    3. terms/docs tables are patched for changed docs only;
+    4. term_stats and corpus stats are recomputed (cheap aggregates);
+    5. segment rows are re-encoded ONLY for affected terms, and ONLY
+       their buckets are rewritten (atomic per-bucket swap) — cost
+       scales with the delta, not the corpus.
+
+    WAND-bound note: unaffected rows keep block_max_wf computed with
+    the avgdl at their encode time. meta["min_avgdl_encoded"] tracks
+    the smallest avgdl any live row was encoded with; the query engine
+    derates bounds by avgdl_now/min_avgdl_encoded (a proven-safe
+    factor), so block-max pruning stays lossless after deltas. Exact
+    (non-WAND) scoring never uses stored bounds and is unaffected.
+
+    Returns the merged pages DataFrame.
+    """
+    import numpy as np  # noqa: F401  (imported for parity with build path)
+
+    from micce_search_engine_spark.operators.index_build import (
+        IndexPaths,
+        SEGMENT_SCHEMA,
+        TERMS_SCHEMA,
+        _make_partition_encoder,
+        _tokenize_count,
+        bucket_of,
+    )
+
+    p = IndexPaths(index_dir)
+    with open(p.meta) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+
+    merged = merge_pages(old_pages, updates, key="url")
+
+    # -- changed urls + doc_id allocation ------------------------------
+    oldt = old_pages.select("url", F.col("text").alias("_old_text"))
+    newt = merged.select("url", F.col("text").alias("_new_text"))
+    changed_urls = (
+        oldt.join(newt, "url", "full_outer")
+        .filter(~F.col("_old_text").eqNullSafe(F.col("_new_text")))
+        .select("url", "_new_text")
+    )
+    docs = spark.read.parquet(p.docs)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    existing = docs.select("url", "doc_id")
+    ch = changed_urls.join(existing, "url", "left")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("url")  # new urls per delta are few; single sort ok
+    new_ids = (
+        ch.filter(F.col("doc_id").isNull())
+        .withColumn("doc_id", F.lit(max_id) + F.row_number().over(w))
+        .select("url", "doc_id", "_new_text")
+    )
+    old_ids = ch.filter(F.col("doc_id").isNotNull()).select(
+        "url", "doc_id", "_new_text"
+    )
+    changed = old_ids.union(new_ids).persist()
+    changed.count()  # materialize BEFORE any source path is swapped
+
+    # -- affected terms: old terms of changed docs + new terms ---------
+    terms_old = spark.read.parquet(p.terms)
+    changed_ids = changed.select("doc_id")
+    old_terms_of_changed = (
+        terms_old.join(F.broadcast(changed_ids), "doc_id", "left_semi")
+        .select("term")
+        .distinct()
+    )
+    new_terms_rows = (
+        changed.select("doc_id", F.col("_new_text").alias("text"))
+        .mapInArrow(_tokenize_count, TERMS_SCHEMA)
+    ).persist()
+    new_terms_rows.count()
+    # collect the affected-term list NOW — its plan reads the old terms
+    # table, which is atomically replaced below (lazy re-reads would see
+    # deleted files)
+    aff_terms = sorted(
+        r["term"]
+        for r in old_terms_of_changed.union(new_terms_rows.select("term"))
+        .distinct()
+        .collect()
+    )
+    affected = spark.createDataFrame([(t,) for t in aff_terms], "term string")
+
+    # -- patch terms table (drop changed docs' rows, add new) ----------
+    terms_new = terms_old.join(
+        F.broadcast(changed_ids), "doc_id", "left_anti"
+    ).unionByName(new_terms_rows)
+    _atomic_overwrite(terms_new, p.terms)
+    terms_new = spark.read.parquet(p.terms)
+
+    # -- docs + stats ---------------------------------------------------
+    merged_ids = (
+        merged.join(
+            existing.unionByName(new_ids.select("url", "doc_id")), "url", "left"
+        )
+    )
+    doc_len = terms_new.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    has_ts = "warc_ts" in merged.columns
+    doc_cols = ["doc_id", "url", "lang"] + (["warc_ts"] if has_ts else [])
+    docs_new = (
+        merged_ids.select(*doc_cols)
+        .join(doc_len, "doc_id", "left")
+        .withColumn("dl", F.coalesce("dl", F.lit(0)))
+    )
+    _atomic_overwrite(docs_new, p.docs, partition_by="lang")
+    docs_new = spark.read.parquet(p.docs)
+    stats = docs_new.agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+    _atomic_overwrite(stats.coalesce(1), p.stats)
+    avgdl_now = float(spark.read.parquet(p.stats).collect()[0]["avgdl"])
+    _atomic_overwrite(
+        terms_new.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        ),
+        p.term_stats,
+    )
+
+    # -- re-encode ONLY affected terms; rewrite ONLY their buckets ------
+    aff_buckets = sorted({bucket_of(t, n_buckets) for t in aff_terms})
+    max_rows = int(meta.get("max_postings_per_row", 200_000))
+    hot = (
+        spark.read.parquet(p.term_stats)
+        .filter(F.col("df") > max_rows)
+        .select("term", F.col("df").alias("_hot_df"))
+    )
+    n_docs_now = int(spark.read.parquet(p.stats).collect()[0]["N"])
+    t = terms_new.join(F.broadcast(affected), "term", "left_semi").join(
+        F.broadcast(hot), "term", "left"
+    )
+    n_rows_exp = F.ceil(F.col("_hot_df") / F.lit(max_rows))
+    salt = F.when(
+        F.col("_hot_df").isNotNull(),
+        F.floor(F.col("doc_id") * n_rows_exp / F.lit(n_docs_now)),
+    ).otherwise(F.lit(0))
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    re_encoded = (
+        t.withColumn("salt", salt.cast("int"))
+        .drop("_hot_df")
+        .repartition(n_shuffle, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(_make_partition_encoder(avgdl_now, n_buckets), SEGMENT_SCHEMA)
+    ).persist()
+    for b in aff_buckets:
+        bucket_dir = os.path.join(p.segments, f"bucket={b}")
+        keep = (
+            spark.read.parquet(bucket_dir)
+            .join(F.broadcast(affected), "term", "left_anti")
+            if os.path.exists(bucket_dir)
+            else None
+        )
+        add = re_encoded.filter(F.col("bucket") == b).drop("bucket")
+        out = add if keep is None else keep.unionByName(add)
+        _atomic_overwrite(out, bucket_dir)
+
+    meta["min_avgdl_encoded"] = min(
+        float(meta.get("min_avgdl_encoded", meta.get("avgdl_encoded", avgdl_now))),
+        avgdl_now,
+    )
+    with open(p.meta, "w") as f:
+        json.dump(meta, f)
+
+    changed.unpersist()
+    new_terms_rows.unpersist()
+    re_encoded.unpersist()
+    return merged
+
+
+def _atomic_overwrite(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    tmp = path + f".__upd_{uuid.uuid4().hex[:8]}__"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
+    old = path + ".__old__"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

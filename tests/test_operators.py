@@ -141,6 +141,45 @@ class TestMultimodal:
             decode_image(b"\x89PNG")
 
 
+class TestGeo:
+    def test_haversine_known_distance(self, spark):
+        from micce_search_engine_spark.functions.geo import (
+            closeness,
+            geo_radius_filter,
+            haversine_km,
+        )
+
+        # Tokyo (35.6762, 139.6503) <-> Osaka (34.6937, 135.5023) ~ 397 km
+        df = spark.createDataFrame(
+            [(35.6762, 139.6503, 34.6937, 135.5023)],
+            "lat1 double, lon1 double, lat2 double, lon2 double",
+        )
+        from pyspark.sql import functions as F
+
+        row = df.select(
+            haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("km"),
+            geo_radius_filter(F.col("lat1"), F.col("lon1"), 34.6937, 135.5023).alias("in200"),
+            geo_radius_filter(F.col("lat1"), F.col("lon1"), 34.6937, 135.5023, 500).alias("in500"),
+            closeness(F.col("lat1"), F.col("lon1"), 35.6762, 139.6503).alias("self_close"),
+        ).collect()[0]
+        assert abs(row["km"] - 397) < 5
+        assert row["in200"] is False and row["in500"] is True
+        assert abs(row["self_close"] - 1.0) < 1e-12
+
+
+class TestSynonymSource:
+    def test_csv_roundtrip_and_broadcast_shape(self, spark, tmp_path):
+        from micce_search_engine_spark.sources.synonyms import (
+            load_synonyms_csv,
+            write_synonyms_csv,
+        )
+
+        p = str(tmp_path / "syn.csv")
+        write_synonyms_csv([("alias0", "w000000"), ("シノニム", "w000001")], p)
+        d = load_synonyms_csv(spark, p)
+        assert d == {"alias0": "w000000", "シノニム": "w000001"}
+
+
 class TestDedupAnn:
     def test_exact_dedup_keeps_min_id(self, spark):
         from micce_search_engine_spark.operators.dedup import exact_dedup

@@ -1,0 +1,108 @@
+"""Incremental upsert + affected-partition delta rebuild (I4):
+omit-nil MERGE, stable doc_ids, segment surgery only on affected
+buckets, and post-delta rank-identity vs an oracle on the merged
+corpus (SURVEY.md §5.6)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from micce_search_engine_spark.corpus import gen_pages, pages_spark_schema
+from micce_search_engine_spark.operators.index_build import build_index
+from micce_search_engine_spark.operators.query import SearchEngine
+from micce_search_engine_spark.operators.upsert import apply_upsert
+from micce_search_engine_spark.oracle import BruteForceBM25
+
+
+@pytest.fixture(scope="module")
+def delta_env(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("upd") / "idx")
+    pdf = gen_pages(300, seed=13)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    build_index(spark, pages, idx, n_buckets=4, max_postings_per_row=60)
+
+    # updates: rewrite text of 10 docs, lang-only change for 5 (omit-nil
+    # text=None), and 5 brand-new urls
+    upd_rows = []
+    for i in range(10):
+        upd_rows.append((pdf.url[i], f"updated document w{i:06d} spark delta", None))
+    for i in range(10, 15):
+        upd_rows.append((pdf.url[i], None, "xx"))
+    for i in range(5):
+        upd_rows.append((f"https://zz.example/new{i}", f"fresh page alpha w{i:06d}", "en"))
+    updates = spark.createDataFrame(
+        upd_rows, "url string, text string, lang string"
+    )
+    merged = apply_upsert(spark, idx, pages, updates)
+    merged_pdf = merged.select("url", "text", "lang").toPandas()
+    return idx, merged_pdf
+
+
+def test_docid_stability_and_new_allocation(spark, delta_env):
+    idx, merged_pdf = delta_env
+    docs = spark.read.parquet(os.path.join(idx, "docs"))
+    assert docs.count() == 305
+    assert docs.select("doc_id").distinct().count() == 305
+    # new urls got ids above the old max (append-only allocation)
+    new_ids = [
+        r["doc_id"]
+        for r in docs.filter(F.col("url").startswith("https://zz.example/")).collect()
+    ]
+    assert sorted(new_ids) == [300, 301, 302, 303, 304]
+
+
+def test_post_delta_rank_identity(spark, delta_env):
+    idx, merged_pdf = delta_env
+    eng = SearchEngine(spark, idx)
+    docs = spark.read.parquet(os.path.join(idx, "docs"))
+    url_of = {r["doc_id"]: r["url"] for r in docs.collect()}
+    oracle = BruteForceBM25(merged_pdf)
+    oracle_url = {i: oracle.urls[i] for i in range(len(oracle.urls))}
+    for q in ["spark delta", "alpha", "the", "w000001", "updated"]:
+        got = eng.search(q, limit=10, page=1)
+        exp = oracle.search(q, limit=10, page=1)
+        assert got["total_hits"] == exp["total_hits"], q
+        got_set = sorted((url_of[d], round(s, 9)) for d, s in got["results"])
+        exp_set = sorted((oracle_url[d], round(s, 9)) for d, s in exp["results"])
+        assert got_set == exp_set, q
+
+
+def test_wand_still_lossless_after_delta(spark, delta_env):
+    idx, _ = delta_env
+    eng = SearchEngine(spark, idx)
+    assert eng.wand_derate >= 1.0
+    for q in ["the", "spark", "alpha"]:
+        exact = eng.search(q, limit=10, page=1)
+        wand = eng.search(q, limit=10, page=1, topk_only=True)
+        assert [d for d, _ in wand["results"]] == [d for d, _ in exact["results"]], q
+
+
+def test_unaffected_buckets_untouched(spark, tmp_path):
+    """Delta rebuild must not rewrite buckets of unaffected terms."""
+    idx = str(tmp_path / "idx2")
+    pdf = gen_pages(200, seed=21)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    build_index(spark, pages, idx, n_buckets=8, max_postings_per_row=10**9)
+    seg_root = os.path.join(idx, "segments")
+    before = {
+        b: sorted(os.listdir(os.path.join(seg_root, b)))
+        for b in os.listdir(seg_root)
+        if b.startswith("bucket=")
+    }
+    updates = spark.createDataFrame(
+        [("https://zz.example/solo", "uniqueterm0042 uniqueterm0042", "en")],
+        "url string, text string, lang string",
+    )
+    apply_upsert(spark, idx, pages, updates)
+    from micce_search_engine_spark.operators.index_build import bucket_of
+
+    touched = {f"bucket={bucket_of('uniqueterm0042', 8)}"}
+    after = {
+        b: sorted(os.listdir(os.path.join(seg_root, b)))
+        for b in os.listdir(seg_root)
+        if b.startswith("bucket=")
+    }
+    for b in before:
+        if b not in touched:
+            assert after[b] == before[b], f"{b} was rewritten needlessly"
