@@ -36,8 +36,11 @@ from micce_search_engine_spark.corpus import (  # noqa: E402
 from micce_search_engine_spark.session import get_spark  # noqa: E402
 
 
+WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp")
+
+
 def ensure_corpus(spark, n: int) -> str:
-    path = f"/tmp/mse_bench_corpus/n{n}"
+    path = f"{WORKDIR}/mse_bench_corpus/n{n}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -59,7 +62,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
     spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        # shuffle/spill on the bench workdir (tmpfs for scaling runs —
+        # this VM's buffered disk writes are throttled to ~30 MB/s,
+        # which would make every leg disk-bound; a real cluster's
+        # aggregate disk bandwidth scales with executors)
+        extra_conf={"spark.local.dir": os.path.join(WORKDIR, "spark-local")},
     )
 
     from micce_search_engine_spark.operators.batch_query import search_batch
@@ -71,7 +81,7 @@ def main() -> None:
     corpus_path = ensure_corpus(spark, n_docs)
     pages = spark.read.parquet(corpus_path)
 
-    index_dir = f"/tmp/mse_bench_index/c{cpus}_n{n_docs}"
+    index_dir = f"{WORKDIR}/mse_bench_index/c{cpus}_n{n_docs}"
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.monotonic()
     build_index(spark, pages, index_dir, n_buckets=32, max_postings_per_row=200_000)

@@ -39,6 +39,7 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    env.setdefault("SPARK_GRAFT_WORKDIR", "/dev/shm/mse")
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
