@@ -444,14 +444,16 @@ def _q_streaming_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_manifest_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage lineage after a (possibly resumed) build — rows-only check
-    (timestamps are wall-clock)."""
+    """Stage lineage after a (possibly resumed) build: LATEST status per
+    stage (max_by updated_at — NOT lexicographic max, which would report
+    PROCESSING > COMPLETED forever). Oracle: the state machine must have
+    driven every build stage to COMPLETED."""
     eng = _engine(spark, sf_dir)
     m = spark.read.parquet(os.path.join(eng.paths.root, "_manifest"))
     return (
         m.filter(F.col("partition_id") == -1)
         .groupBy("stage")
-        .agg(F.max("status").alias("final_status"))
+        .agg(F.max_by("status", "updated_at").alias("final_status"))
         .orderBy("stage")
     )
 
@@ -952,6 +954,11 @@ FROM (
   FROM events
 ) WHERE rn = 1
 """
-    # ann_lsh_topk, manifest_lineage: non-SQL-expressible (numpy
-    # hyperplanes / wall-clock lineage) -> rows-only checks.
+    sqls["manifest_lineage"] = """
+SELECT stage, final_status FROM (VALUES
+  ('S1_tokenize', 'COMPLETED'),
+  ('S2_stats', 'COMPLETED'),
+  ('S3_segments', 'COMPLETED')
+) AS t(stage, final_status)
+"""
     return sqls

@@ -36,12 +36,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Docs with fewer than ``n`` tokens (including empty/null text) yield
+    zero shingles — guarded explicitly because ``F.sequence(0, -1)``
+    steps DOWNWARD ([0, -1]) and the resulting ``slice(toks, 0, n)``
+    throws INVALID_PARAMETER_VALUE.START."""
     toks = tokens_col(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()

@@ -54,14 +54,17 @@ def affected_terms(old: DataFrame, new: DataFrame, key: str = "url") -> DataFram
     (old tokens ∪ new tokens for every url whose text changed). The
     delta rebuild re-encodes only these terms' posting rows — the
     set-oriented analog of the reference's per-doc re-feed."""
-    o = old.select(key, F.col("text").alias("_old_text"))
-    n = new.select(key, F.col("text").alias("_new_text"))
+    o = old.select(key, F.col("text").alias("_old_text"), F.lit(True).alias("_in_old"))
+    n = new.select(key, F.col("text").alias("_new_text"), F.lit(True).alias("_in_new"))
+    # changed = inserted (absent from old) OR deleted OR text differs —
+    # presence flags, not text comparison alone: an inserted url with
+    # NULL text must still count as changed (NULL eqNullSafe NULL is true)
     changed = (
         o.join(n, key, "full_outer")
         .filter(
-            ~(
-                F.col("_old_text").eqNullSafe(F.col("_new_text"))
-            )
+            F.col("_in_old").isNull()
+            | F.col("_in_new").isNull()
+            | ~F.col("_old_text").eqNullSafe(F.col("_new_text"))
         )
     )
     toks = changed.select(
@@ -123,11 +126,19 @@ def apply_upsert(
     merged = merge_pages(old_pages, updates, key="url")
 
     # -- changed urls + doc_id allocation ------------------------------
-    oldt = old_pages.select("url", F.col("text").alias("_old_text"))
+    oldt = old_pages.select(
+        "url", F.col("text").alias("_old_text"), F.lit(True).alias("_in_old")
+    )
     newt = merged.select("url", F.col("text").alias("_new_text"))
+    # new urls (absent from old_pages) are ALWAYS changed, even with
+    # NULL text — detecting via text inequality alone would skip them,
+    # leave their doc_id unallocated, and break doc_id uniqueness
     changed_urls = (
         oldt.join(newt, "url", "full_outer")
-        .filter(~F.col("_old_text").eqNullSafe(F.col("_new_text")))
+        .filter(
+            F.col("_in_old").isNull()
+            | ~F.col("_old_text").eqNullSafe(F.col("_new_text"))
+        )
         .select("url", "_new_text")
     )
     docs = spark.read.parquet(p.docs)
@@ -262,7 +273,13 @@ def _atomic_overwrite(df: DataFrame, path: str, partition_by: str | None = None)
         w = w.partitionBy(partition_by)
     w.parquet(tmp)
     old = path + ".__old__"
+    # a crash between the two renames below leaves a stale __old__ dir;
+    # clear it first or os.rename(path, old) raises and wedges upserts
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.rename(path, old)
+    # NOTE: between these renames <path> briefly does not exist for
+    # concurrent readers — single-writer/zero-reader is assumed here
+    # (a real deployment uses Iceberg/Delta snapshot commits instead)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
