@@ -56,6 +56,12 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
 # index cache (built lazily once per sf_dir; stages resume/skip if present)
 # ---------------------------------------------------------------------------
 _ENGINES: dict = {}
+_MF_ENGINES: dict = {}
+
+# second searchable field ("korea_name" analog): first 5 words of text —
+# derived identically in Spark and in the SQL oracle
+_TITLE_SPARK = "array_join(slice(split(coalesce(text, '') , ' '), 1, 5), ' ')"
+_TITLE_SQL = "array_to_string(list_slice(string_split(coalesce(text, ''), ' '), 1, 5), ' ')"
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +85,7 @@ def _engine(spark: SparkSession, sf_dir: str):
     from micce_search_engine_spark.operators.query import SearchEngine
 
     tag = hashlib.sha1(key.encode()).hexdigest()[:10]
-    index_dir = os.path.join("/tmp", "mse_entry_idx_v1", tag)
+    index_dir = os.path.join("/tmp", "mse_entry_idx_v2", tag)
     build_index(
         spark,
         _docs_as_pages(spark, sf_dir),
@@ -91,6 +97,64 @@ def _engine(spark: SparkSession, sf_dir: str):
     eng = SearchEngine(spark, index_dir, synonyms=SYNONYMS)
     _ENGINES[key] = eng
     return eng
+
+
+def _attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute store over documents: deterministic doc_id-derived geo
+    position + category/bool/int attrs (spot.sd:19-31 analog); same
+    derivation in the SQL oracles."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 18001) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 104729 % 36001) / 100.0 - 180.0).alias("lon"),
+        F.col("source").alias("category"),
+        (F.col("doc_id") % 3 == 0).alias("has_images"),
+        "n_chars",
+    )
+
+
+_ATTRS_SQL = """
+attrs AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18001) / 100.0 - 90.0 AS lat,
+         (doc_id * 104729 % 36001) / 100.0 - 180.0 AS lon,
+         source AS category,
+         (doc_id % 3 = 0) AS has_images,
+         n_chars
+  FROM documents
+)"""
+
+
+def _mf_engine(spark: SparkSession, sf_dir: str):
+    """Two-field engine (text + derived title) sharing the documents
+    doc_id space — the name/korea_name analog."""
+    key = os.path.abspath(sf_dir)
+    if key in _MF_ENGINES:
+        return _MF_ENGINES[key]
+    _ensure_pyfiles(spark)
+    from micce_search_engine_spark.operators.multifield import (
+        ConditionEngine,
+        build_field_indexes,
+    )
+    from micce_search_engine_spark.operators.query import SearchEngine
+
+    tag = hashlib.sha1(key.encode()).hexdigest()[:10]
+    base = os.path.join("/tmp", "mse_entry_idx_v2", tag + "_mf")
+    pages = _docs_as_pages(spark, sf_dir).withColumn("title", F.expr(_TITLE_SPARK))
+    idxs = build_field_indexes(
+        spark,
+        pages,
+        fields=["text", "title"],
+        base_dir=base,
+        doc_id_col="doc_id",
+        n_buckets=8,
+        max_postings_per_row=2000,
+    )
+    engines = {f: SearchEngine(spark, d, synonyms=SYNONYMS) for f, d in idxs.items()}
+    ce = ConditionEngine(engines, attrs=_attrs(spark, sf_dir), synonyms=SYNONYMS)
+    _MF_ENGINES[key] = ce
+    return ce
 
 
 # ---------------------------------------------------------------------------
@@ -156,18 +220,26 @@ qmeta(query_id, lang_filter, lim, pg) AS (VALUES {qmeta_vals}),
 qbranch(query_id, branch_id, branch_size, term) AS (VALUES {qbranch_vals}),
 qterms AS (SELECT DISTINCT query_id, term FROM qbranch),
 contrib AS (
+  -- fixed-point int64 contribution: floor(idf * wf * 1e9), the exact
+  -- expression order the engine uses (bm25_wf numpy + contrib_fx) so
+  -- IEEE doubles match bit-for-bit and integer sums are order-free
   SELECT q.query_id, f.doc_id,
-         ln((s.n - coalesce(d.df, 0) + 0.5) / (coalesce(d.df, 0) + 0.5) + 1.0)
-           * f.tf * {K1_P1!r}
-           / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl))
-           AS c
+         floor(
+           ln((s.n - coalesce(d.df, 0) + 0.5) / (coalesce(d.df, 0) + 0.5) + 1.0)
+           * (f.tf * {K1_P1!r}
+              / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl)))
+           * 1e9
+         )::BIGINT AS c_fx
   FROM qterms q
   JOIN tf f USING (term)
   JOIN dl l ON f.doc_id = l.doc_id
   CROSS JOIN stats s
   LEFT JOIN tdf d ON d.term = q.term
 ),
-scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, doc_id, sum(c_fx)::DOUBLE / 1e9 AS score
+  FROM contrib GROUP BY 1, 2
+),
 branch_hits AS (
   SELECT b.query_id, f.doc_id
   FROM qbranch b JOIN tf f USING (term)
@@ -330,7 +402,11 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (numpy hyperplanes — no SQL oracle; rows-only)."""
+    """LSH-bucketed multi-probe ANN. Hyperplanes are md5-derived INTEGER
+    vectors and components are 2^20 fixed-point, so bucket ids, probe
+    order and the candidate set are exact int64 arithmetic the DuckDB
+    oracle reproduces bit-for-bit (round 1 used numpy Gaussian planes —
+    no_oracle)."""
     _ensure_pyfiles(spark)
     from micce_search_engine_spark.operators.ann import lsh_topk
 
@@ -341,6 +417,58 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qv, dim=len(qv), k=10).select(
         "vec_id", F.round("cosine", 6).alias("cosine_r")
     )
+
+
+MF_QUERY = "fastjoin"  # expands to 2 branches x 2 fields = 4 OR branches
+
+
+def _q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field keyword search (name/korea_name analog): candidacy =
+    some branch fully matched in SOME field; score = cross-field sum of
+    per-field fixed-point BM25 (convertSpotNameQuery.go:11-17 +
+    spot.sd:9-17)."""
+    from micce_search_engine_spark.operators.multifield import multifield_scored
+
+    ce = _mf_engine(spark, sf_dir)
+    out = multifield_scored(ce.engines, MF_QUERY, ce.synonyms)
+    return out.select("doc_id", F.round("score", 6).alias("score_r"))
+
+
+def _q_geo_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword + geo-radius condition ranked by the closeness profile
+    (whereQuery.go:59-77, convertGeoQuery.go:10, spot.profile:3-5).
+    Returns ALL in-radius matches (ordering-free check; values carry
+    the ranking)."""
+    ce = _mf_engine(spark, sf_dir)
+    cand = ce.search_frame(
+        {
+            "keyword": "spark",
+            "geo": {"lat": 10.0, "lon": 20.0, "radius_km": 5000.0},
+            "rank_profile": "closeness",
+            "limit": 10,
+            "page": 1,
+        }
+    )
+    return cand.select("doc_id", F.round("score", 6).alias("closeness_r"))
+
+
+def _q_condition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SearchCondition: keyword AND category AND bool AND
+    comparison filters, BM25 profile (SearchCondition.go:9-21,
+    whereQuery.go:79-122)."""
+    ce = _mf_engine(spark, sf_dir)
+    cand = ce.search_frame(
+        {
+            "keyword": "merge",
+            "category": "src3",
+            "has_images": True,
+            "filters": [("n_chars", ">=", 200)],
+            "rank_profile": "bm25",
+            "limit": 10,
+            "page": 1,
+        }
+    )
+    return cand.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,6 +743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "bm25_multifield": _q_bm25_multifield,
+        "geo_search": _q_geo_search,
+        "condition_filters": _q_condition_filters,
         "langid": _q_langid,
         "quality": _q_quality,
         "token_counts": _q_token_counts,
@@ -725,6 +856,95 @@ FROM x
 """
 
 
+def _mf_toks_sql() -> str:
+    """Two-field token/stat CTEs: T = text, K = derived title."""
+    out = []
+    for tag, expr in (("T", "lower(coalesce(text, ''))"), ("K", f"lower({_TITLE_SQL})")):
+        out.append(
+            f"""
+toks{tag} AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split({expr}, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf{tag} AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks{tag} GROUP BY 1, 2),
+dl{tag} AS (
+  SELECT d.doc_id, coalesce(x.dl, 0)::BIGINT AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks{tag} GROUP BY 1) x USING (doc_id)
+),
+stats{tag} AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl{tag}) AS avgdl
+),
+df{tag} AS (SELECT term, count(*)::BIGINT AS df FROM tf{tag} GROUP BY 1)"""
+        )
+    return ",".join(out)
+
+
+def _mf_cand_sql(query_text: str) -> str:
+    """Candidacy: some OR branch fully matched in SOME field."""
+    branches = expand_branches(query_text, SYNONYMS)
+    sels = []
+    for tag in ("T", "K"):
+        for b in branches:
+            uniq = sorted(set(b))
+            terms = ", ".join(f"'{t}'" for t in uniq)
+            sels.append(
+                f"SELECT doc_id FROM tf{tag} WHERE term IN ({terms}) "
+                f"GROUP BY doc_id HAVING count(*) = {len(uniq)}"
+            )
+    return "cand AS (SELECT DISTINCT doc_id FROM (" + " UNION ALL ".join(sels) + "))"
+
+
+def _mf_score_sql(query_text: str) -> str:
+    """Per-field fixed-point BM25 sums cT/cK over the expanded terms +
+    the cross-field combined score CTE 'mfscore'."""
+    branches = expand_branches(query_text, SYNONYMS)
+    qterms = sorted({t for b in branches for t in b})
+    in_list = ", ".join(f"'{t}'" for t in qterms)
+    parts = []
+    for tag in ("T", "K"):
+        parts.append(
+            f"""
+c{tag} AS (
+  SELECT f.doc_id,
+         sum(floor(
+           ln((s.n - coalesce(d.df, 0) + 0.5) / (coalesce(d.df, 0) + 0.5) + 1.0)
+           * (f.tf * {K1_P1!r}
+              / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl)))
+           * 1e9
+         )::BIGINT) AS fx
+  FROM tf{tag} f
+  JOIN dl{tag} l USING (doc_id)
+  CROSS JOIN stats{tag} s
+  LEFT JOIN df{tag} d ON d.term = f.term
+  WHERE f.term IN ({in_list})
+  GROUP BY 1
+)"""
+        )
+    parts.append(
+        """
+mfscore AS (
+  SELECT c.doc_id,
+         (coalesce(t.fx, 0) + coalesce(k.fx, 0))::DOUBLE / 1e9 AS score
+  FROM cand c
+  LEFT JOIN cT t ON t.doc_id = c.doc_id
+  LEFT JOIN cK k ON k.doc_id = c.doc_id
+)"""
+    )
+    return ",".join(parts)
+
+
+# mirrors functions/geo.py haversine_km exactly (same operand order)
+_HAV_SQL = (
+    "2.0 * 6371.0 * asin(sqrt("
+    "power(sin((radians({clat}) - radians(a.lat)) / 2), 2)"
+    " + cos(radians(a.lat)) * cos(radians({clat}))"
+    " * power(sin((radians({clon}) - radians(a.lon)) / 2), 2)))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["bm25_topk"] = _bm25_sql(
@@ -754,10 +974,12 @@ stats AS (
 tdf AS (SELECT count(*)::BIGINT AS df FROM tf WHERE term = 'spark'),
 scored AS (
   SELECT f.doc_id,
-         ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * f.tf * {K1_P1!r}
-           / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl))
-           AS score
+         floor(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (f.tf * {K1_P1!r}
+              / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl)))
+           * 1e9
+         )::BIGINT::DOUBLE / 1e9 AS score
   FROM tf f JOIN dl l USING (doc_id) CROSS JOIN stats s CROSS JOIN tdf d
   WHERE f.term = 'spark'
 )
@@ -960,5 +1182,84 @@ SELECT stage, final_status FROM (VALUES
   ('S2_stats', 'COMPLETED'),
   ('S3_segments', 'COMPLETED')
 ) AS t(stage, final_status)
+"""
+    sqls["bm25_multifield"] = f"""
+WITH {_mf_toks_sql()},
+{_mf_cand_sql(MF_QUERY)},
+{_mf_score_sql(MF_QUERY)}
+SELECT doc_id, round(score, 6)::DOUBLE AS score_r FROM mfscore
+"""
+    hav = _HAV_SQL.format(clat="10.0", clon="20.0")
+    sqls["geo_search"] = f"""
+WITH {_mf_toks_sql()},
+{_mf_cand_sql("spark")},
+{_ATTRS_SQL},
+geo AS (
+  SELECT a.doc_id, {hav} AS km
+  FROM attrs a JOIN cand USING (doc_id)
+)
+SELECT doc_id, round(1.0 / (1.0 + km), 6)::DOUBLE AS closeness_r
+FROM geo WHERE km <= 5000.0
+"""
+    sqls["condition_filters"] = f"""
+WITH {_mf_toks_sql()},
+{_mf_cand_sql("merge")},
+{_mf_score_sql("merge")},
+{_ATTRS_SQL}
+SELECT m.doc_id, round(m.score, 6)::DOUBLE AS score_r
+FROM mfscore m
+JOIN attrs a USING (doc_id)
+WHERE a.category = 'src3' AND a.has_images AND a.n_chars >= 200
+"""
+    # integer-exact LSH: md5-derived int32 hyperplanes x 2^20 fixed-point
+    # components reproduce buckets/probes/candidates bit-for-bit
+    sqls["ann_lsh_topk"] = """
+WITH dims AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS j
+  FROM embeddings WHERE vec_id = 0
+),
+planes AS (
+  SELECT i.range AS i, d.j AS j,
+         ('0x' || substr(md5('p42#' || i.range || '#' || d.j), 1, 8))::BIGINT
+           - 2147483648 AS v
+  FROM range(8) i, dims d
+),
+vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1048576.0)::BIGINT) AS vfx,
+         embedding
+  FROM embeddings
+),
+proj AS (
+  SELECT w.vec_id, p.i, sum(p.v * w.vfx[p.j + 1])::BIGINT AS dot
+  FROM vecs w, planes p GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY 1
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+flips AS (SELECT i FROM proj WHERE vec_id = 0 ORDER BY abs(dot), i LIMIT 7),
+probes AS (
+  SELECT bucket AS b FROM qb
+  UNION ALL
+  SELECT xor((SELECT bucket FROM qb), (1::BIGINT << i)) FROM flips
+),
+cand AS (
+  SELECT b2.vec_id FROM buckets b2
+  WHERE b2.vec_id <> 0 AND b2.bucket IN (SELECT b FROM probes)
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT v.vec_id,
+         list_sum(list_transform(list_zip(v.embedding, (SELECT qv FROM q)),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(v.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         (SELECT sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) FROM q) AS nb
+  FROM vecs v JOIN cand USING (vec_id)
+)
+SELECT vec_id, round(dot / (na * nb), 6)::DOUBLE AS cosine_r
+FROM d ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
 """
     return sqls

@@ -30,6 +30,14 @@ import numpy as np
 from micce_search_engine_spark import BLOCK_SIZE
 
 
+def bm25_wf(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
+    """The idf-free BM25 weight, ONE canonical evaluation-order for the
+    whole engine (encode-time block maxima AND query-time scoring use
+    this exact expression; the DuckDB oracle mirrors the same
+    parenthesization, so IEEE-754 doubles match bit-for-bit)."""
+    return tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+
 def _varbyte_encode_with_sizes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized varbyte encode returning (byte stream, bytes-per-value)."""
     v = np.asarray(values, dtype=np.uint64)
@@ -92,13 +100,17 @@ def encode_postings(
     tfs: np.ndarray,
     wf: np.ndarray,
     dls: np.ndarray | None = None,
+    langs: np.ndarray | None = None,
 ) -> dict:
     """Encode one term's postings (pre-sorted unique doc_ids) into blocks.
 
     ``wf`` is the idf-free BM25 weight per posting (same order).
-    ``dls`` (doc lengths) are stored interleaved like Vespa's BM25
-    features (spot.sd:11 ``enable-bm25``) so query-time scoring needs no
-    join against a doc-length table.
+    ``dls`` (doc lengths) and ``langs`` (dictionary-encoded language ids,
+    see index meta ``langs``) are stored interleaved like Vespa's BM25
+    features + attributes (spot.sd:11 ``enable-bm25``, :24-28
+    ``attribute``/``fast-search``) so query-time scoring AND the exact
+    lang filter need no join against a doc table — at 10^12 docs that
+    join is a full shuffle per query batch.
     Returns a dict of plain-python/bytes values matching the segment
     table schema in index_build.py.
     """
@@ -108,6 +120,9 @@ def encode_postings(
     if dls is None:
         dls = np.zeros_like(tfs)
     dls = np.asarray(dls, dtype=np.int64)
+    if langs is None:
+        langs = np.zeros_like(tfs)
+    langs = np.asarray(langs, dtype=np.int64)
     n = doc_ids.size
     assert n > 0
     n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
@@ -128,18 +143,22 @@ def encode_postings(
     doc_parts = []
     tf_parts = []
     dl_parts = []
+    lang_parts = []
     doc_off = [0]
     tf_off = [0]
     dl_off = [0]
+    lang_off = [0]
     for bi in range(n_blocks):
         s, e = starts[bi], bounds[bi]
         d = deltas[s : e - 1] if e - s > 1 else np.empty(0, dtype=np.int64)
         doc_parts.append(varbyte_encode(d.astype(np.uint64)))
         tf_parts.append(varbyte_encode(tfs[s:e].astype(np.uint64)))
         dl_parts.append(varbyte_encode(dls[s:e].astype(np.uint64)))
+        lang_parts.append(varbyte_encode(langs[s:e].astype(np.uint64)))
         doc_off.append(doc_off[-1] + len(doc_parts[-1]))
         tf_off.append(tf_off[-1] + len(tf_parts[-1]))
         dl_off.append(dl_off[-1] + len(dl_parts[-1]))
+        lang_off.append(lang_off[-1] + len(lang_parts[-1]))
 
     return {
         "df": int(n),
@@ -154,20 +173,23 @@ def encode_postings(
         "block_doc_off": [int(x) for x in doc_off],  # len n_blocks+1
         "block_tf_off": [int(x) for x in tf_off],
         "block_dl_off": [int(x) for x in dl_off],
+        "block_lang_off": [int(x) for x in lang_off],
         "doc_blob": b"".join(doc_parts),
         "tf_blob": b"".join(tf_parts),
         "dl_blob": b"".join(dl_parts),
+        "lang_blob": b"".join(lang_parts),
     }
 
 
 def decode_postings(
-    row: dict, block_mask: np.ndarray | None = None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    row: dict, block_mask: np.ndarray | None = None, want_lang: bool = False
+) -> tuple[np.ndarray, ...]:
     """Decode (optionally a subset of blocks of) one term's postings.
 
     ``row`` is a dict-like with the encode_postings fields.
     ``block_mask`` is a boolean array over blocks; None decodes all.
-    Returns (doc_ids int64, tfs int64, dls int64).
+    Returns (doc_ids int64, tfs int64, dls int64) — plus langs int64
+    when ``want_lang`` (older rows without a lang stream yield zeros).
     """
     first = np.asarray(row["block_first_doc"], dtype=np.int64)
     block_n = np.asarray(row["block_n"], dtype=np.int64)
@@ -177,17 +199,23 @@ def decode_postings(
     doc_blob = np.frombuffer(bytes(row["doc_blob"]), dtype=np.uint8)
     tf_blob = np.frombuffer(bytes(row["tf_blob"]), dtype=np.uint8)
     dl_blob = np.frombuffer(bytes(row["dl_blob"]), dtype=np.uint8)
+    has_lang = want_lang and row.get("lang_blob") is not None
+    if has_lang:
+        lang_off = np.asarray(row["block_lang_off"], dtype=np.int64)
+        lang_blob = np.frombuffer(bytes(row["lang_blob"]), dtype=np.uint8)
     n_blocks = first.size
     if block_mask is None:
         block_mask = np.ones(n_blocks, dtype=bool)
     sel = np.flatnonzero(block_mask)
     empty = np.empty(0, dtype=np.int64)
     if sel.size == 0:
-        return empty, empty.copy(), empty.copy()
+        out = (empty, empty.copy(), empty.copy())
+        return out + (empty.copy(),) if want_lang else out
 
     docs_out = []
     tfs_out = []
     dls_out = []
+    langs_out = []
     for bi in sel:
         d = varbyte_decode(doc_blob[doc_off[bi] : doc_off[bi + 1]]).astype(np.int64)
         ids = np.empty(block_n[bi], dtype=np.int64)
@@ -201,11 +229,18 @@ def decode_postings(
         dls_out.append(
             varbyte_decode(dl_blob[dl_off[bi] : dl_off[bi + 1]]).astype(np.int64)
         )
-    return (
-        np.concatenate(docs_out),
-        np.concatenate(tfs_out),
-        np.concatenate(dls_out),
-    )
+        if has_lang:
+            langs_out.append(
+                varbyte_decode(lang_blob[lang_off[bi] : lang_off[bi + 1]]).astype(
+                    np.int64
+                )
+            )
+    docs = np.concatenate(docs_out)
+    out = (docs, np.concatenate(tfs_out), np.concatenate(dls_out))
+    if want_lang:
+        langs = np.concatenate(langs_out) if has_lang else np.zeros_like(docs)
+        out = out + (langs,)
+    return out
 
 
 def encode_many(
@@ -215,6 +250,7 @@ def encode_many(
     tfs: np.ndarray,
     dls: np.ndarray,
     wf: np.ndarray,
+    langs: np.ndarray | None = None,
 ) -> list[dict]:
     """Batch-vectorized encode of MANY terms' postings at once.
 
@@ -231,6 +267,9 @@ def encode_many(
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
     wf = np.asarray(wf, dtype=np.float64)
+    if langs is None:
+        langs = np.zeros_like(tfs)
+    langs = np.asarray(langs, dtype=np.int64)
     n = docs.size
     g = starts.size
     if n == 0:
@@ -273,6 +312,7 @@ def encode_many(
 
     tf_stream, blk_tf_s, blk_tf_e = _streams(tfs)
     dl_stream, blk_dl_s, blk_dl_e = _streams(dls)
+    lang_stream, blk_lang_s, blk_lang_e = _streams(langs)
 
     # --- per-group reductions ------------------------------------------
     grp_cf = np.add.reduceat(tfs, starts)
@@ -283,6 +323,7 @@ def encode_many(
     doc_bytes = doc_stream.tobytes()
     tf_bytes = tf_stream.tobytes()
     dl_bytes = dl_stream.tobytes()
+    lang_bytes = lang_stream.tobytes()
 
     out = []
     for gi in range(g):
@@ -293,6 +334,7 @@ def encode_many(
         gds = int(blk_doc_s[b0])
         gts = int(blk_tf_s[b0])
         gls = int(blk_dl_s[b0])
+        ggs = int(blk_lang_s[b0])
         out.append(
             {
                 "df": int(sizes[gi]),
@@ -313,9 +355,13 @@ def encode_many(
                 "block_dl_off": (
                     np.append(blk_dl_s[b0:b1], blk_dl_e[b1 - 1]) - gls
                 ).tolist(),
+                "block_lang_off": (
+                    np.append(blk_lang_s[b0:b1], blk_lang_e[b1 - 1]) - ggs
+                ).tolist(),
                 "doc_blob": doc_bytes[gds : int(blk_doc_e[b1 - 1])],
                 "tf_blob": tf_bytes[gts : int(blk_tf_e[b1 - 1])],
                 "dl_blob": dl_bytes[gls : int(blk_dl_e[b1 - 1])],
+                "lang_blob": lang_bytes[ggs : int(blk_lang_e[b1 - 1])],
             }
         )
     return out
@@ -331,11 +377,14 @@ def merge_encoded(parts: list[dict]) -> dict:
     doc_off = [0]
     tf_off = [0]
     dl_off = [0]
+    lang_off = [0]
     for p in parts:
         base_d, base_t, base_l = doc_off[-1], tf_off[-1], dl_off[-1]
+        base_g = lang_off[-1]
         doc_off.extend(base_d + o for o in p["block_doc_off"][1:])
         tf_off.extend(base_t + o for o in p["block_tf_off"][1:])
         dl_off.extend(base_l + o for o in p["block_dl_off"][1:])
+        lang_off.extend(base_g + o for o in p["block_lang_off"][1:])
     return {
         "df": sum(p["df"] for p in parts),
         "cf": sum(p["cf"] for p in parts),
@@ -349,7 +398,9 @@ def merge_encoded(parts: list[dict]) -> dict:
         "block_doc_off": doc_off,
         "block_tf_off": tf_off,
         "block_dl_off": dl_off,
+        "block_lang_off": lang_off,
         "doc_blob": b"".join(bytes(p["doc_blob"]) for p in parts),
         "tf_blob": b"".join(bytes(p["tf_blob"]) for p in parts),
         "dl_blob": b"".join(bytes(p["dl_blob"]) for p in parts),
+        "lang_blob": b"".join(bytes(p["lang_blob"]) for p in parts),
     }

@@ -54,19 +54,79 @@ def brute_force_topk(
     )
 
 
+VEC_QUANT = 1 << 20  # fixed-point scale for vector components
+
+
+def det_planes_int(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic md5-derived INTEGER hyperplanes in [-2^31, 2^31):
+    component (i, j) = uint32(md5("p{seed}#{i}#{j}")[:8]) - 2^31.
+
+    Integer planes + fixed-point vector components make the whole LSH
+    (projections, bucket bits, multi-probe order) EXACT int64
+    arithmetic — order-independent AND bit-reproducible by the DuckDB
+    oracle, unlike float Gaussian projections whose sum order matters.
+    """
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.int64)
+    for i in range(n_planes):
+        for j in range(dim):
+            u = int(hashlib.md5(f"p{seed}#{i}#{j}".encode()).hexdigest()[:8], 16)
+            out[i, j] = u - (1 << 31)
+    return out
+
+
+def _vec_fx(vec_col: str):
+    """floor(component * 2^20) int64 fixed-point vector (exact for
+    float32 inputs on both engine and oracle sides)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(VEC_QUANT))).cast("long"),
+    )
+
+
+def _int_dot(a, plane_row: np.ndarray):
+    p = F.array(*[F.lit(int(x)).cast("long") for x in plane_row])
+    return F.aggregate(
+        F.zip_with(a, p, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame, dim: int, n_planes: int = 8, seed: int = 42, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector (sign pattern of
-    ``n_planes`` fixed Gaussian projections)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    """Random-hyperplane LSH bucket id per vector: sign pattern of
+    ``n_planes`` deterministic integer projections (exact int64 math,
+    SQL-reproducible)."""
+    planes = det_planes_int(n_planes, dim, seed)
+    vfx = _vec_fx(vec_col)
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        p = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(F.col(vec_col), p) > 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(_int_dot(vfx, planes[i]) > 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + (bit.cast("long") * F.lit(2**i).cast("long"))
     return df.withColumn("bucket", bucket)
+
+
+def query_probes(
+    query_vec: list[float], dim: int, n_planes: int = 8, n_probes: int = 8, seed: int = 42
+) -> list[int]:
+    """Query bucket + multi-probe single-bit flips, nearest planes
+    first (|projection| ascending, plane index tie-break) — pure
+    integer math, identical in the SQL oracle."""
+    planes = det_planes_int(n_planes, dim, seed)
+    qfx = [math_floor(float(x) * VEC_QUANT) for x in query_vec]
+    proj = [int(sum(int(p) * v for p, v in zip(planes[i], qfx))) for i in range(n_planes)]
+    qbucket = sum((1 << i) for i in range(n_planes) if proj[i] > 0)
+    flip_order = sorted(range(n_planes), key=lambda i: (abs(proj[i]), i))
+    return [qbucket] + [qbucket ^ (1 << i) for i in flip_order[: max(n_probes - 1, 0)]]
+
+
+def math_floor(x: float) -> int:
+    import math
+
+    return int(math.floor(x))
 
 
 def lsh_topk(
@@ -83,14 +143,7 @@ def lsh_topk(
     """Approximate top-k: score only vectors whose bucket is within the
     query bucket's multi-probe set (the query bucket + single-bit
     flips, nearest planes first)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    q = np.asarray(query_vec, dtype=np.float64)
-    proj = planes @ q
-    qbucket = int(sum((1 << i) for i in range(n_planes) if proj[i] > 0))
-    # multi-probe: flip the planes the query is closest to first
-    flip_order = np.argsort(np.abs(proj))
-    probes = [qbucket] + [qbucket ^ (1 << int(i)) for i in flip_order[: max(n_probes - 1, 0)]]
+    probes = query_probes(query_vec, dim, n_planes, n_probes, seed)
     bucketed = hyperplane_buckets(df, dim, n_planes, seed, vec_col)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return (

@@ -3,36 +3,36 @@
 The reference answers one HTTP query at a time
 (/root/reference/search-api/internal/repository/vespaRepository.go:21-40);
 for offline evaluation at cluster scale the engine instead compiles a
-whole query *set* into a single relational plan (SURVEY.md §2D
-"window functions"):
+whole query *set* into a single relational plan (SURVEY.md §2D):
 
-  qterms(query_id, term, idf)  ⋈  decoded postings(term, doc_id, tf, dl)
-    -> per-(query, doc) BM25 partial scores (native Column math)
-    -> groupBy(query_id, doc_id): deterministic-order score sum
-    -> branch AND/OR matching as a relational count-join (a doc matches
-       a branch iff it contains ALL the branch's terms)
-    -> optional per-query exact lang filter
-    -> per-query total_hits + Window top-k (row_number over
-       score DESC, doc_id ASC) with the reference's limit*page /
-       offset=limit*(page-1) pagination quirk
+  qweights(query_id, term, idf, lang, branch flags)   [tiny, broadcast]
+    ⋈  decoded postings(term, doc_id, wf, lang_id)    [the only big input]
+    -> per-query exact lang filter BEFORE the aggregate (the lang
+       attribute rides the posting payload — no docs-table join, which
+       at 10^12 docs was a full sort-merge shuffle per batch in round 1)
+    -> groupBy(query_id, doc_id): ONE hash aggregate of int64 columns —
+       fixed-point score sum + one matched-term count per OR branch
+       (deterministic, map-side combinable; round 1's
+       collect_set/sort_array per-group arrays ANTI-scaled 4->16 cores)
+    -> branch AND/OR matching as count == branch size
+    -> per-query total_hits + bounded local top-k + one tiny window with
+       the reference's limit*page / offset=limit*(page-1) quirk
        (/root/reference/search-api/internal/repository/query/queryBuilder.go:40-41,
         /root/reference/search-api/internal/presentation/model/response.go:40-42)
-
-Everything after posting decode is plain Catalyst-optimized DataFrame
-ops — broadcast joins for the (tiny) query tables, one shuffle for the
-(query_id, doc_id) aggregation, one for the per-query window.
 """
 
 from __future__ import annotations
-
-import math
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from micce_search_engine_spark import BM25_B, BM25_K1
-from micce_search_engine_spark.operators.query import SearchEngine
+from micce_search_engine_spark.operators.query import (
+    MAX_BRANCHES,
+    SCORE_SCALE,
+    SearchEngine,
+    contrib_fx,
+)
 from micce_search_engine_spark.oracle import expand_branches
 
 
@@ -41,65 +41,118 @@ def compile_query_tables(
     queries: list[dict],
     synonyms: dict[str, str],
     idf_fn,
-) -> tuple[DataFrame, DataFrame, list[str]]:
-    """Driver-side compile: queries -> (qmeta, qbranch_terms, all_terms).
+    lang_id_of=None,
+) -> tuple[DataFrame, DataFrame, list[str], int]:
+    """Driver-side compile: queries -> (qmeta, qweights, all_terms, K).
 
     ``queries``: [{query_id, query_text, lang_filter, limit, page}].
-    Synonym expansion is an exact-key broadcast-dict lookup
+    ``qweights`` has one row per (query, distinct expanded term) with
+    the term idf, the query's lang-filter id (-1 = none) and K 0/1
+    branch-membership flags; ``qmeta`` has per-query limit/page and K
+    nullable branch sizes. Synonym expansion is an exact-key
+    broadcast-dict lookup
     (/root/reference/search-api/internal/repository/bboltRepository.go:56-64).
     """
+    per_q: list[tuple[dict, list[list[str]]]] = [
+        (q, expand_branches(q["query_text"], synonyms)) for q in queries
+    ]
+    K = max((len(b) for _, b in per_q), default=1) or 1
+    assert K <= MAX_BRANCHES
     qmeta_rows = []
-    branch_rows = []
+    weight_rows = []
     terms: set[str] = set()
-    for q in queries:
-        branches = expand_branches(q["query_text"], synonyms)
+    for q, branches in per_q:
+        sizes = [len(set(b)) for b in branches]
         qmeta_rows.append(
             {
                 "query_id": int(q["query_id"]),
-                "lang_filter": q.get("lang_filter"),
                 "limit": int(q["limit"]),
                 "page": int(q["page"]),
-                "n_branches": len(branches),
+                **{f"s{i}": (sizes[i] if i < len(sizes) else None) for i in range(K)},
             }
         )
-        for bi, b in enumerate(branches):
-            for t in sorted(set(b)):
-                branch_rows.append(
-                    {
-                        "query_id": int(q["query_id"]),
-                        "branch_id": bi,
-                        "branch_size": len(set(b)),
-                        "term": t,
-                    }
-                )
-                terms.add(t)
+        lf = q.get("lang_filter")
+        lid = -1
+        if lf is not None:
+            lid = lang_id_of(lf) if lang_id_of else -2  # -2: unknown, matches nothing
+            if lid is None or lid < 0:
+                lid = -2
+        qterms = sorted({t for b in branches for t in b})
+        for t in qterms:
+            weight_rows.append(
+                {
+                    "query_id": int(q["query_id"]),
+                    "term": t,
+                    "q_lang": lid,
+                    **{
+                        f"qb{i}": (
+                            1 if i < len(branches) and t in set(branches[i]) else 0
+                        )
+                        for i in range(K)
+                    },
+                }
+            )
+            terms.add(t)
     all_terms = sorted(terms)
     idf = idf_fn(all_terms)
+    s_cols = ", ".join(f"s{i} int" for i in range(K))
     qmeta = spark.createDataFrame(
-        pd.DataFrame(qmeta_rows),
-        "query_id long, lang_filter string, limit long, page long, n_branches int",
+        [
+            tuple(r[c] for c in ["query_id", "limit", "page"] + [f"s{i}" for i in range(K)])
+            for r in qmeta_rows
+        ],
+        f"query_id long, limit long, page long, {s_cols}",
     )
-    if branch_rows:
-        bpdf = pd.DataFrame(branch_rows)
-        bpdf["idf"] = bpdf["term"].map(idf)
-        qbranch = spark.createDataFrame(
-            bpdf, "query_id long, branch_id int, branch_size int, term string, idf double"
+    qb_cols = ", ".join(f"qb{i} int" for i in range(K))
+    if weight_rows:
+        wpdf = pd.DataFrame(weight_rows)
+        wpdf["idf"] = wpdf["term"].map(idf)
+        qweights = spark.createDataFrame(
+            wpdf, f"query_id long, term string, q_lang long, {qb_cols}, idf double"
         )
     else:
-        qbranch = spark.createDataFrame(
-            [], "query_id long, branch_id int, branch_size int, term string, idf double"
+        qweights = spark.createDataFrame(
+            [], f"query_id long, term string, q_lang long, {qb_cols}, idf double"
         )
-    return qmeta, qbranch, all_terms
+    return qmeta, qweights, all_terms, K
 
 
-def _branches_df(spark: SparkSession, queries: list[dict], synonyms) -> DataFrame:
-    rows = [
-        (int(q["query_id"]), expand_branches(q["query_text"], synonyms))
-        for q in queries
+def _match_pred(K: int):
+    """Doc matches iff SOME present branch's matched-term count equals
+    its size (AND within branch, OR across branches)."""
+    preds = [
+        F.col(f"s{i}").isNotNull() & (F.col(f"_b{i}") == F.col(f"s{i}"))
+        for i in range(K)
     ]
-    return spark.createDataFrame(
-        rows, "query_id long, branches array<array<string>>"
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def _candidates(engine: SearchEngine, queries: list[dict], with_score: bool):
+    """Shared matching plan -> (query_id, doc_id[, score]) + qmeta."""
+    spark = engine.spark
+    qmeta, qweights, all_terms, K = compile_query_tables(
+        spark, queries, engine.synonyms, engine.idf_map, engine.lang_id_of
     )
+    if not all_terms:
+        return None, qmeta
+    postings = engine._postings(all_terms, mode="score_lang")
+    joined = postings.join(F.broadcast(qweights), "term").filter(
+        (F.col("q_lang") == -1) | (F.col("q_lang") == F.col("lang_id"))
+    )
+    aggs = [F.sum(f"qb{i}").alias(f"_b{i}") for i in range(K)]
+    if with_score:
+        joined = joined.withColumn("w_fx", contrib_fx(F.col("idf"), F.col("wf")))
+        aggs = [F.sum("w_fx").alias("score_fx")] + aggs
+    scored = joined.groupBy("query_id", "doc_id").agg(*aggs)
+    cand = scored.join(F.broadcast(qmeta), "query_id").filter(_match_pred(K))
+    cols = ["query_id", "doc_id"]
+    if with_score:
+        cand = cand.withColumn("score", F.col("score_fx") / F.lit(SCORE_SCALE))
+        cols.append("score")
+    return cand.select(*cols), qmeta
 
 
 def search_batch(
@@ -110,63 +163,13 @@ def search_batch(
     (query_id, doc_id, score, rank, total_hits, last_page) — one row per
     returned hit, rank 1-based within the returned page."""
     spark = engine.spark
-    qmeta, qbranch, all_terms = compile_query_tables(
-        spark, queries, engine.synonyms, engine.idf_map
-    )
-    if not all_terms:
+    cand, qmeta = _candidates(engine, queries, with_score=True)
+    if cand is None:
         return spark.createDataFrame(
             [],
             "query_id long, doc_id long, score double, rank int, "
             "total_hits long, last_page boolean",
         )
-
-    postings = engine._postings(all_terms)
-    # distinct query terms (a term may appear in several branches/queries)
-    qterms = qbranch.select("query_id", "term", "idf").distinct()
-    contrib = (
-        postings.join(F.broadcast(qterms), "term")
-        .withColumn(
-            "contrib",
-            (
-                F.col("idf")
-                * F.col("tf")
-                * F.lit(BM25_K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + F.lit(BM25_K1)
-                    * (
-                        F.lit(1.0 - BM25_B)
-                        + F.lit(BM25_B) * F.col("dl") / F.lit(engine.avgdl)
-                    )
-                )
-            ).cast("double"),
-        )
-    )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.sort_array(F.collect_set(F.struct("term", "contrib"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
-        ).alias("score"),
-        F.collect_set("term").alias("matched"),
-    )
-    # branch matching in-place: doc is a candidate iff SOME branch has
-    # ALL its terms matched — a broadcast join of the per-query branch
-    # structure + exists/forall, no extra shuffle
-    branches_df = _branches_df(spark, queries, engine.synonyms)
-    cand = scored.join(F.broadcast(branches_df), "query_id").filter(
-        F.exists(
-            F.col("branches"),
-            lambda b: F.forall(b, lambda t: F.array_contains(F.col("matched"), t)),
-        )
-    )
-
-    # per-query exact lang filter (category analog, spot.sd:24-28)
-    cand = cand.join(F.broadcast(qmeta), "query_id")
-    docs_lang = engine.spark.read.parquet(engine.paths.docs).select("doc_id", "lang")
-    cand = cand.join(docs_lang, "doc_id", "left").filter(
-        F.col("lang_filter").isNull() | (F.col("lang") == F.col("lang_filter"))
-    )
 
     # Distributed per-query top-k WITHOUT a global sort: every partition
     # keeps a bounded running top-maxk per query (linear scan, memory
@@ -174,7 +177,7 @@ def search_batch(
     # are a plain hash aggregate. This is the per-group analog of
     # Spark's TakeOrderedAndProject.
     maxk = max(int(q["limit"]) * int(q["page"]) for q in queries)
-    cand = cand.select("query_id", "doc_id", "score").persist()
+    cand = cand.persist()
     try:
         totals = cand.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("total_hits")
@@ -227,38 +230,14 @@ def search_batch(
 def totals_batch(engine: SearchEngine, queries: list[dict]) -> DataFrame:
     """Per-query total_hits + last_page only (covers queries whose page
     window is empty and queries with zero hits). Q11/Q12 analog."""
-    spark = engine.spark
-    qmeta, qbranch, all_terms = compile_query_tables(
-        spark, queries, engine.synonyms, engine.idf_map
-    )
-    if not all_terms:
+    cand, qmeta = _candidates(engine, queries, with_score=False)
+    if cand is None:
         return qmeta.select(
             "query_id",
             F.lit(0).cast("long").alias("total_hits"),
             F.lit(True).alias("last_page"),
         )
-    postings = engine._postings(all_terms).select("term", "doc_id")
-    qterms = qbranch.select("query_id", "term").distinct()
-    matched = (
-        postings.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.collect_set("term").alias("matched"))
-    )
-    branches_df = _branches_df(spark, queries, engine.synonyms)
-    branch_hits = matched.join(F.broadcast(branches_df), "query_id").filter(
-        F.exists(
-            F.col("branches"),
-            lambda b: F.forall(b, lambda t: F.array_contains(F.col("matched"), t)),
-        )
-    )
-    docs_lang = spark.read.parquet(engine.paths.docs).select("doc_id", "lang")
-    counted = (
-        branch_hits.join(F.broadcast(qmeta), "query_id")
-        .join(docs_lang, "doc_id", "left")
-        .filter(F.col("lang_filter").isNull() | (F.col("lang") == F.col("lang_filter")))
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("total_hits"))
-    )
+    counted = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("total_hits"))
     return (
         qmeta.join(counted, "query_id", "left")
         .withColumn("total_hits", F.coalesce("total_hits", F.lit(0)))

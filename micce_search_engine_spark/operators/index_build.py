@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from micce_search_engine_spark import BLOCK_SIZE, BM25_B, BM25_K1
-from micce_search_engine_spark.functions.codec import encode_many
+from micce_search_engine_spark.functions.codec import bm25_wf, encode_many
 from micce_search_engine_spark.operators.docids import assign_doc_ids
 from micce_search_engine_spark.plans.manifest import Manifest, atomic_stage
 
@@ -47,7 +47,8 @@ SEGMENT_SCHEMA = (
     "max_wf double, block_first_doc array<long>, block_last_doc array<long>, "
     "block_n array<int>, block_max_tf array<int>, block_max_wf array<double>, "
     "block_doc_off array<long>, block_tf_off array<long>, "
-    "block_dl_off array<long>, doc_blob binary, tf_blob binary, dl_blob binary"
+    "block_dl_off array<long>, block_lang_off array<long>, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, lang_blob binary"
 )
 
 
@@ -68,17 +69,20 @@ class IndexPaths:
         self.meta = os.path.join(index_dir, "meta.json")
 
 
-TERMS_SCHEMA = "doc_id long, term string, tf long, dl long"
+TERMS_SCHEMA = "doc_id long, term string, tf long, dl long, lang_id long"
 
 
 def _tokenize_count(it):
-    """mapInArrow: pages RecordBatches -> (doc_id, term, tf, dl) rows.
+    """mapInArrow: pages RecordBatches -> (doc_id, term, tf, dl, lang_id).
 
     Tokenizing AND term-counting in one pass emits one row per unique
     (doc, term) instead of shipping every token occurrence through an
     explode + hash aggregate (at web scale that's ~2x fewer rows and
     one fewer full shuffle). Docs with no tokens emit nothing; doc
-    metadata (dl=0 included) is reconstructed by the caller.
+    metadata (dl=0 included) is reconstructed by the caller. ``lang_id``
+    (dictionary-encoded by the caller) rides along so segments can
+    store it per posting — the attribute the exact lang filter needs
+    WITHOUT a docs join at query time.
 
     Arrow-native in AND out: building pa.RecordBatch directly skips the
     pandas object-array intermediate, which measured 3x slower for the
@@ -92,11 +96,13 @@ def _tokenize_count(it):
     for batch in it:
         ids = batch.column(0).to_pylist()
         texts = batch.column(1).to_pylist()
+        lang_ids = batch.column(2).to_pylist()
         doc_ids = []
         terms: list[str] = []
         tfs = []
         dls = []
-        for doc_id, text in zip(ids, texts):
+        langs = []
+        for doc_id, text, lid in zip(ids, texts, lang_ids):
             toks = tokenize_text(text)
             if not toks:
                 continue
@@ -105,6 +111,7 @@ def _tokenize_count(it):
             terms.extend(c.keys())
             tfs.append(np.fromiter(c.values(), dtype=np.int64, count=len(c)))
             dls.append(np.full(len(c), len(toks), dtype=np.int64))
+            langs.append(np.full(len(c), lid or 0, dtype=np.int64))
         if doc_ids:
             yield pa.RecordBatch.from_arrays(
                 [
@@ -112,8 +119,9 @@ def _tokenize_count(it):
                     pa.array(terms, type=pa.string()),
                     pa.array(np.concatenate(tfs)),
                     pa.array(np.concatenate(dls)),
+                    pa.array(np.concatenate(langs)),
                 ],
-                names=["doc_id", "term", "tf", "dl"],
+                names=["doc_id", "term", "tf", "dl", "lang_id"],
             )
 
 
@@ -135,17 +143,14 @@ def _make_partition_encoder(avgdl: float, n_buckets: int):
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        wf = (
-            tfs
-            * (BM25_K1 + 1.0)
-            / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
-        )
+        langs = pdf["lang_id"].to_numpy(dtype=np.int64)
+        wf = bm25_wf(tfs, dls, avgdl, BM25_K1, BM25_B)
         change = np.empty(len(pdf), dtype=bool)
         change[0] = True
         change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pdf))
-        rows = encode_many(starts, ends, docs, tfs, dls, wf)
+        rows = encode_many(starts, ends, docs, tfs, dls, wf, langs)
         gterms = terms[starts]
         gsalts = salts[starts]
         for gi, enc in enumerate(rows):
@@ -204,16 +209,46 @@ def build_index(
     # ---- S1: tokenize -> docs + terms -------------------------------
     st = atomic_stage(m, "S1_tokenize", [p.docs, p.terms])
     if not st.skipped:
+        # language dictionary (sorted distinct -> id) BEFORE tokenize so
+        # lang_id can ride the posting payload; a column-pruned distinct
+        # over one string column, cheap even at web scale
+        langs = sorted(
+            r["l"]
+            for r in pages.select(
+                F.coalesce(F.col("lang"), F.lit("")).alias("l")
+            )
+            .distinct()
+            .collect()
+        )
+        lang_to_id = {l: i for i, l in enumerate(langs)}
         with st:
             if doc_id_col is None:
                 with_ids = assign_doc_ids(pages)
             else:
                 with_ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
-            with_ids = with_ids.persist()
+            lang_map = F.create_map(
+                *[x for l, i in lang_to_id.items() for x in (F.lit(l), F.lit(i))]
+            )
+            with_ids = with_ids.withColumn(
+                "lang_id", lang_map[F.coalesce(F.col("lang"), F.lit(""))].cast("long")
+            ).persist()
             st.rows_in = with_ids.count()
+            # Tokenize is CPU-bound Python-per-byte, not IO-bound: AQE's
+            # size-based coalescing would hand it ~64MB partitions (a
+            # handful of tasks regardless of core count — measured FLAT
+            # 4->16 core scaling in round 1). Explicit numPartitions
+            # repartition is exempt from AQE coalescing, so the stage
+            # always has >= 2x cores of splits. On a real cluster with a
+            # many-filed input table this shuffle is skippable; here it
+            # costs one pass of (doc_id, text) and buys linear scaling.
+            n_tok = 2 * max(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                spark.sparkContext.defaultParallelism,
+            )
             # one Python pass: tokenize + per-doc term counts
             (
-                with_ids.select("doc_id", "text")
+                with_ids.select("doc_id", "text", "lang_id")
+                .repartition(n_tok)
                 .mapInArrow(_tokenize_count, TERMS_SCHEMA)
                 .write.mode("overwrite")
                 .parquet(p.terms + ".__tmp__")
@@ -230,6 +265,16 @@ def build_index(
                 .parquet(p.docs + ".__tmp__")
             )
             with_ids.unpersist()
+    else:
+        # resume: reconstruct the identical dictionary from the docs
+        # table (same sorted-distinct rule over the same rows)
+        langs = sorted(
+            r["l"]
+            for r in spark.read.parquet(p.docs)
+            .select(F.coalesce(F.col("lang"), F.lit("")).alias("l"))
+            .distinct()
+            .collect()
+        )
     if fail_after == "S1_tokenize":
         raise RuntimeError("injected failure after S1_tokenize")
 
@@ -305,7 +350,10 @@ def build_index(
                 # WAND bounds are derated by avgdl_now/min_avgdl_encoded
                 # after incremental upserts (see operators/upsert.py)
                 "min_avgdl_encoded": avgdl_built,
-                "version": 1,
+                # language dictionary: lang string -> list index == the
+                # lang_id stored per posting (append-only across upserts)
+                "langs": langs,
+                "version": 2,
             },
             f,
         )

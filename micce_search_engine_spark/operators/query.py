@@ -8,14 +8,25 @@ Re-expresses the reference's query path (SURVEY.md §3.1):
   (presentation/model/response.go:8-42).
 
 Here the "Vespa side" is a DataFrame plan: query terms pruned to their
-segment buckets -> Arrow-batched posting decode -> native-Column BM25 ->
-branch AND/OR semantics -> exact lang filter -> count + distributed
+segment buckets -> Arrow-batched zero-copy posting decode (the decoder
+emits the idf-free BM25 weight ``wf`` directly and applies the exact
+lang filter from the per-posting attribute stream — NO join against a
+docs table, which at 10^12 docs is a full shuffle per query) ->
+fixed-point scoring -> per-branch match counting -> count + distributed
 top-k (TakeOrderedAndProject).
 
-Determinism: per-doc scores are summed in sorted-term order via
-``aggregate(sort_array(collect_list(...)))`` so float accumulation
-order is parallelism-independent (SURVEY.md §4.2 item 4); ties break
+Determinism (SURVEY.md §4.2 item 4): per-term contributions are
+quantized to int64 fixed-point (floor(idf * wf * 1e9)) and summed as
+LONGS — integer addition is exact and order-independent, so scores are
+bit-identical across any partitioning/parallelism WITHOUT the
+collect_set/sort_array array aggregate round 1 used (which was the
+batched path's scaling bottleneck). score = score_fx / 1e9; ties break
 ``score DESC, doc_id ASC``.
+
+Branch semantics (AND within an OR branch, whereQuery.go:13-41) are
+counted relationally: one conditional-sum column per branch (<= 8
+branches), a doc matches iff some branch's matched-term count equals
+its size — plain codegen aggregates, no per-group arrays.
 
 ``topk_only=True`` enables block-max WAND pruning (SURVEY.md §4.2
 item 2): decode each term's best block for score lower bounds, set
@@ -31,50 +42,145 @@ from __future__ import annotations
 
 import json
 import math
-import os
-from functools import reduce
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from micce_search_engine_spark import BM25_B, BM25_K1
-from micce_search_engine_spark.functions.codec import decode_postings
+from micce_search_engine_spark.functions.codec import bm25_wf, decode_postings
 from micce_search_engine_spark.operators.index_build import IndexPaths, bucket_of
 from micce_search_engine_spark.oracle import expand_branches
 
 _POSTING_SCHEMA = "term string, doc_id long, tf long, dl long"
+_SCORE_SCHEMA = "term string, doc_id long, wf double"
+_SCORE_LANG_SCHEMA = "term string, doc_id long, wf double, lang_id long"
+
+# fixed-point scale: contributions are floor(idf * wf * 1e9) int64
+SCORE_SCALE = 1e9
+MAX_BRANCHES = 8
+
+# segment columns each decode mode needs (column-pruned parquet scan)
+_META_COLS = ["term", "salt", "block_first_doc", "block_n"]
+_MODE_COLS = {
+    "postings": _META_COLS
+    + ["block_doc_off", "block_tf_off", "block_dl_off", "doc_blob", "tf_blob", "dl_blob"],
+    "score": _META_COLS
+    + ["block_doc_off", "block_tf_off", "block_dl_off", "doc_blob", "tf_blob", "dl_blob"],
+    "score_lang": _META_COLS
+    + [
+        "block_doc_off",
+        "block_tf_off",
+        "block_dl_off",
+        "block_lang_off",
+        "doc_blob",
+        "tf_blob",
+        "dl_blob",
+        "lang_blob",
+    ],
+}
 
 
-def _decode_map(block_sel: dict | None):
-    """mapInPandas decoder: segment rows -> (term, doc_id, tf, dl).
+def _batch_row_views(batch, names: list[str]):
+    """Zero-copy per-row views over list<long>/binary Arrow columns.
+
+    Returns a list of per-row dicts whose array/blob values are numpy
+    VIEWS into the Arrow buffers (no to_pylist object materialization —
+    round 1 copied every blob into Python bytes before numpy saw it)."""
+    idx = {nm: j for j, nm in enumerate(batch.schema.names)}
+    n = batch.num_rows
+    cols = {}
+    for nm in names:
+        col = batch.column(idx[nm])
+        t = col.type
+        if str(t) == "string":
+            cols[nm] = col.to_pylist()
+        elif str(t).startswith("list"):
+            off = col.offsets.to_numpy().astype(np.int64)
+            vals = col.values.to_numpy(zero_copy_only=False)
+            cols[nm] = ("list", off, vals)
+        elif str(t) == "binary" or str(t) == "large_binary":
+            bufs = col.buffers()
+            odt = np.int64 if str(t) == "large_binary" else np.int32
+            off = np.frombuffer(bufs[1], dtype=odt)[
+                col.offset : col.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            cols[nm] = ("bin", off, data)
+        else:  # plain ints (salt)
+            cols[nm] = col.to_numpy(zero_copy_only=False)
+    rows = []
+    for i in range(n):
+        row = {}
+        for nm, c in cols.items():
+            if isinstance(c, tuple):
+                _, off, vals = c
+                row[nm] = vals[off[i] : off[i + 1]]
+            elif isinstance(c, list):
+                row[nm] = c[i]
+            else:
+                row[nm] = c[i]
+        rows.append(row)
+    return rows
+
+
+def _decode_map(
+    block_sel: dict | None,
+    mode: str = "postings",
+    lang_id: int | None = None,
+    avgdl: float = 1.0,
+):
+    """mapInArrow decoder factory.
+
+    modes:
+      * ``postings``   -> (term, doc_id, tf, dl)            [probe/tests]
+      * ``score``      -> (term, doc_id, wf)                [single query;
+                          optional decode-side exact lang filter]
+      * ``score_lang`` -> (term, doc_id, wf, lang_id)       [batched
+                          queries with per-query lang filters]
 
     ``block_sel``: optional {(term, salt): [block_idx, ...]} restriction
     (block-max WAND surviving blocks); None decodes everything.
     """
+    want_lang = mode == "score_lang" or (mode == "score" and lang_id is not None)
+    cols = _MODE_COLS["score_lang" if want_lang else mode]
 
     def fn(it):
         import pyarrow as pa
 
         for batch in it:
-            rows = batch.to_pylist()
-            terms, sizes, docs_out, tfs_out, dls_out = [], [], [], [], []
+            if batch.num_rows == 0:
+                continue
+            rows = _batch_row_views(batch, cols)
+            terms, sizes = [], []
+            docs_out, a_out, b_out = [], [], []
             for row in rows:
                 mask = None
                 if block_sel is not None:
-                    allowed = block_sel.get((row["term"], row["salt"]))
+                    allowed = block_sel.get((row["term"], int(row["salt"])))
                     if allowed is None:
                         continue
                     mask = np.zeros(len(row["block_first_doc"]), dtype=bool)
                     mask[np.asarray(allowed, dtype=np.int64)] = True
-                docs, tfs, dls = decode_postings(row, mask)
-                if docs.size:
-                    terms.append(row["term"])
-                    sizes.append(docs.size)
-                    docs_out.append(docs)
-                    tfs_out.append(tfs)
-                    dls_out.append(dls)
+                if want_lang:
+                    docs, tfs, dls, langs = decode_postings(row, mask, want_lang=True)
+                else:
+                    docs, tfs, dls = decode_postings(row, mask)
+                if mode == "score" and lang_id is not None:
+                    keep = langs == lang_id
+                    docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if not docs.size:
+                    continue
+                terms.append(row["term"])
+                sizes.append(docs.size)
+                docs_out.append(docs)
+                if mode == "postings":
+                    a_out.append(tfs)
+                    b_out.append(dls)
+                else:
+                    a_out.append(bm25_wf(tfs, dls, avgdl, BM25_K1, BM25_B))
+                    if mode == "score_lang":
+                        b_out.append(langs)
             if docs_out:
                 # expand the per-row term to per-posting rows with a
                 # C-level take (Spark can't consume Arrow dictionary
@@ -83,17 +189,52 @@ def _decode_map(block_sel: dict | None):
                     np.arange(len(terms), dtype=np.int64), np.asarray(sizes)
                 )
                 term_arr = pa.array(terms, type=pa.string()).take(pa.array(idx))
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        term_arr,
-                        pa.array(np.concatenate(docs_out)),
-                        pa.array(np.concatenate(tfs_out)),
-                        pa.array(np.concatenate(dls_out)),
-                    ],
-                    names=["term", "doc_id", "tf", "dl"],
-                )
+                arrays = [term_arr, pa.array(np.concatenate(docs_out))]
+                names = ["term", "doc_id"]
+                if mode == "postings":
+                    arrays += [pa.array(np.concatenate(a_out)), pa.array(np.concatenate(b_out))]
+                    names += ["tf", "dl"]
+                elif mode == "score":
+                    arrays.append(pa.array(np.concatenate(a_out)))
+                    names.append("wf")
+                else:
+                    arrays += [pa.array(np.concatenate(a_out)), pa.array(np.concatenate(b_out))]
+                    names += ["wf", "lang_id"]
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return fn
+
+
+def contrib_fx(idf_col, wf_col):
+    """Fixed-point per-term BM25 contribution: floor(idf*wf*1e9) long.
+    Summed as int64 -> deterministic under ANY partitioning; mirrored
+    verbatim in the DuckDB oracle (floor of the identically-ordered
+    double expression)."""
+    return F.floor(idf_col * wf_col * F.lit(SCORE_SCALE)).cast("long")
+
+
+def branch_count_aggs(branches: list[list[str]]):
+    """One conditional-count aggregate per OR branch: how many of branch
+    i's distinct terms matched this doc."""
+    assert len(branches) <= MAX_BRANCHES, "query expands to too many OR branches"
+    return [
+        F.sum(
+            F.when(F.col("term").isin(sorted(set(b))), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"_b{i}")
+        for i, b in enumerate(branches)
+    ]
+
+
+def branch_match_pred(branches: list[list[str]]):
+    """Doc is a candidate iff SOME branch matched ALL its terms
+    (whereQuery.go:13-41)."""
+    preds = [
+        F.col(f"_b{i}") == F.lit(len(set(b))) for i, b in enumerate(branches)
+    ]
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
 
 
 class SearchEngine:
@@ -113,6 +254,7 @@ class SearchEngine:
         self.N = int(stats["N"])
         self.avgdl = float(stats["avgdl"])
         self.synonyms = dict(synonyms or {})
+        self.langs: list[str] = list(self.meta.get("langs", []))
         # term dictionary is hot at query time — keep it cached (at
         # true web scale this stays a filter-pushdown parquet lookup;
         # persist() is a no-op benefit there and a big one locally)
@@ -127,6 +269,16 @@ class SearchEngine:
 
     # -- pieces -------------------------------------------------------
 
+    def lang_id_of(self, lang: str | None) -> int | None:
+        """Dictionary id for an exact lang filter; unknown lang -> -1
+        (matches nothing, mirroring an impossible equality filter)."""
+        if lang is None:
+            return None
+        try:
+            return self.langs.index(lang)
+        except ValueError:
+            return -1
+
     def idf_map(self, terms: list[str]) -> dict[str, float]:
         rows = self._term_stats.filter(F.col("term").isin(terms)).collect()
         df = {r["term"]: int(r["df"]) for r in rows}
@@ -135,69 +287,56 @@ class SearchEngine:
             for t in terms
         }
 
-    def _segments_for(self, terms: list[str]) -> DataFrame:
+    def _segments_for(self, terms: list[str], cols: list[str] | None = None) -> DataFrame:
         buckets = sorted({bucket_of(t, self.meta["n_buckets"]) for t in terms})
-        return (
+        df = (
             self.spark.read.parquet(self.paths.segments)
             # partition pruning on bucket=, then row-group pruning on term
             .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         )
+        if cols is not None:
+            df = df.select(*cols)  # prune blob columns the mode won't read
+        return df
 
-    def _postings(self, terms: list[str], block_sel: dict | None = None) -> DataFrame:
-        return self._segments_for(terms).mapInArrow(
-            _decode_map(block_sel), _POSTING_SCHEMA
+    def _postings(
+        self,
+        terms: list[str],
+        block_sel: dict | None = None,
+        mode: str = "postings",
+        lang_id: int | None = None,
+    ) -> DataFrame:
+        want_lang = mode == "score_lang" or (mode == "score" and lang_id is not None)
+        cols = _MODE_COLS["score_lang" if want_lang else mode]
+        schema = {
+            "postings": _POSTING_SCHEMA,
+            "score": _SCORE_SCHEMA,
+            "score_lang": _SCORE_LANG_SCHEMA,
+        }[mode]
+        return self._segments_for(terms, cols).mapInArrow(
+            _decode_map(block_sel, mode, lang_id, self.avgdl), schema
         )
 
-    def _scored(self, postings: DataFrame, idf: dict[str, float]) -> DataFrame:
-        idf_expr = F.create_map(
+    def _idf_expr(self, idf: dict[str, float]):
+        return F.create_map(
             *[x for t, v in sorted(idf.items()) for x in (F.lit(t), F.lit(float(v)))]
         )
-        contrib = (
-            F.col("idf")
-            * F.col("tf")
-            * F.lit(BM25_K1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(BM25_K1)
-                * (
-                    F.lit(1.0 - BM25_B)
-                    + F.lit(BM25_B) * F.col("dl") / F.lit(self.avgdl)
-                )
-            )
-        )
-        per_term = postings.withColumn("idf", idf_expr[F.col("term")]).withColumn(
-            "contrib", contrib.cast("double")
-        )
-        # Deterministic accumulation: sum in sorted-term order.
-        return per_term.groupBy("doc_id").agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["contrib"],
-            ).alias("score"),
-            F.collect_set("term").alias("matched"),
-        )
 
-    def _branch_filter(self, scored: DataFrame, branches: list[list[str]]) -> DataFrame:
-        """AND within a branch, OR across branches (whereQuery.go:13-41)."""
-        def branch_pred(b):
-            return reduce(
-                lambda a, c: a & c,
-                [F.array_contains(F.col("matched"), t) for t in b],
-            )
-
-        pred = reduce(lambda a, c: a | c, [branch_pred(b) for b in branches])
-        return scored.filter(pred)
-
-    def _lang_filter(self, scored: DataFrame, lang: str | None) -> DataFrame:
-        if lang is None:
-            return scored
-        docs = (
-            self.spark.read.parquet(self.paths.docs)
-            .filter(F.col("lang") == lang)  # partition-pruned scan
-            .select("doc_id")
+    def _scored(
+        self,
+        postings: DataFrame,
+        idf: dict[str, float],
+        branches: list[list[str]],
+    ) -> DataFrame:
+        """(doc_id, score double) for docs matching some branch."""
+        per_term = postings.withColumn(
+            "w_fx", contrib_fx(self._idf_expr(idf)[F.col("term")], F.col("wf"))
         )
-        return scored.join(docs, "doc_id", "left_semi")
+        agg = per_term.groupBy("doc_id").agg(
+            F.sum("w_fx").alias("score_fx"), *branch_count_aggs(branches)
+        )
+        return agg.filter(branch_match_pred(branches)).select(
+            "doc_id", (F.col("score_fx") / F.lit(SCORE_SCALE)).alias("score")
+        )
 
     # -- block-max WAND ------------------------------------------------
 
@@ -209,9 +348,7 @@ class SearchEngine:
         meta_cols = self._segments_for(terms).select(
             "term", "salt", "max_wf", F.posexplode("block_max_wf").alias("bi", "bmax")
         )
-        idf_expr = F.create_map(
-            *[x for t, v in sorted(idf.items()) for x in (F.lit(t), F.lit(float(v)))]
-        )
+        idf_expr = self._idf_expr(idf)
         blocks = meta_cols.withColumn(
             "bound",
             idf_expr[F.col("term")] * F.col("bmax") * F.lit(self.wand_derate),
@@ -236,8 +373,9 @@ class SearchEngine:
         sel = {}
         for r in best:
             sel.setdefault((r["term"], r["salt"]), []).append(r["bi"])
+        branches = [[t] for t in terms]
         lb = (
-            self._scored(self._postings(terms, sel), idf)
+            self._scored(self._postings(terms, sel, mode="score"), idf, branches)
             .orderBy(F.desc("score"), "doc_id")
             .limit(k)
             .collect()
@@ -287,16 +425,18 @@ class SearchEngine:
         all_terms = sorted({t for b in branches for t in b})
         idf = self.idf_map(all_terms)
         k = limit * page
+        lid = self.lang_id_of(lang_filter)
 
         block_sel = None
         use_wand = topk_only and all(len(b) == 1 for b in branches) and lang_filter is None
         if use_wand:
             block_sel = self._wand_block_selection(all_terms, idf, k)
 
-        scored = self._scored(self._postings(all_terms, block_sel), idf)
-        cand = self._branch_filter(scored, branches)
-        cand = self._lang_filter(cand, lang_filter)
-        cand = cand.select("doc_id", "score").persist()
+        cand = self._scored(
+            self._postings(all_terms, block_sel, mode="score", lang_id=lid),
+            idf,
+            branches,
+        ).persist()
         try:
             if topk_only:
                 total = None

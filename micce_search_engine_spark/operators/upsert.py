@@ -109,13 +109,13 @@ def apply_upsert(
     """
     import numpy as np  # noqa: F401  (imported for parity with build path)
 
+    from micce_search_engine_spark.operators.docids import assign_doc_ids
     from micce_search_engine_spark.operators.index_build import (
         IndexPaths,
         SEGMENT_SCHEMA,
         TERMS_SCHEMA,
         _make_partition_encoder,
         _tokenize_count,
-        bucket_of,
     )
 
     p = IndexPaths(index_dir)
@@ -127,37 +127,63 @@ def apply_upsert(
 
     # -- changed urls + doc_id allocation ------------------------------
     oldt = old_pages.select(
-        "url", F.col("text").alias("_old_text"), F.lit(True).alias("_in_old")
+        "url",
+        F.col("text").alias("_old_text"),
+        F.col("lang").alias("_old_lang"),
+        F.lit(True).alias("_in_old"),
     )
-    newt = merged.select("url", F.col("text").alias("_new_text"))
+    newt = merged.select(
+        "url", F.col("text").alias("_new_text"), F.col("lang").alias("_new_lang")
+    )
     # new urls (absent from old_pages) are ALWAYS changed, even with
     # NULL text — detecting via text inequality alone would skip them,
-    # leave their doc_id unallocated, and break doc_id uniqueness
+    # leave their doc_id unallocated, and break doc_id uniqueness.
+    # lang-only changes also count: lang_id rides the posting payload,
+    # so a lang flip must re-encode the doc's postings.
     changed_urls = (
         oldt.join(newt, "url", "full_outer")
         .filter(
             F.col("_in_old").isNull()
             | ~F.col("_old_text").eqNullSafe(F.col("_new_text"))
+            | ~F.col("_old_lang").eqNullSafe(F.col("_new_lang"))
         )
-        .select("url", "_new_text")
+        .select("url", "_new_text", "_new_lang")
     )
     docs = spark.read.parquet(p.docs)
     max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
     existing = docs.select("url", "doc_id")
     ch = changed_urls.join(existing, "url", "left")
-    from pyspark.sql import Window
-
-    w = Window.orderBy("url")  # new urls per delta are few; single sort ok
+    # new-url ids: append-only max_id+1+rank via the same two-pass
+    # distributed scheme as the initial build — NOT a single-partition
+    # global Window sort (a backfill-sized delta would funnel through
+    # one task)
     new_ids = (
-        ch.filter(F.col("doc_id").isNull())
-        .withColumn("doc_id", F.lit(max_id) + F.row_number().over(w))
-        .select("url", "doc_id", "_new_text")
+        assign_doc_ids(
+            ch.filter(F.col("doc_id").isNull()).drop("doc_id")
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.lit(max_id + 1))
+        .select("url", "doc_id", "_new_text", "_new_lang")
     )
     old_ids = ch.filter(F.col("doc_id").isNotNull()).select(
-        "url", "doc_id", "_new_text"
+        "url", "doc_id", "_new_text", "_new_lang"
     )
     changed = old_ids.union(new_ids).persist()
     changed.count()  # materialize BEFORE any source path is swapped
+
+    # -- language dictionary: append newly-seen langs (ids are stable) --
+    langs: list[str] = list(meta.get("langs", []))
+    seen = {
+        r["l"]
+        for r in changed.select(
+            F.coalesce(F.col("_new_lang"), F.lit("")).alias("l")
+        )
+        .distinct()
+        .collect()
+    }
+    langs += sorted(seen - set(langs))
+    lang_map = F.create_map(
+        *[x for i, l in enumerate(langs) for x in (F.lit(l), F.lit(i))]
+    )
 
     # -- affected terms: old terms of changed docs + new terms ---------
     terms_old = spark.read.parquet(p.terms)
@@ -168,20 +194,27 @@ def apply_upsert(
         .distinct()
     )
     new_terms_rows = (
-        changed.select("doc_id", F.col("_new_text").alias("text"))
+        changed.select(
+            "doc_id",
+            F.col("_new_text").alias("text"),
+            lang_map[F.coalesce(F.col("_new_lang"), F.lit(""))].cast("long").alias("lang_id"),
+        )
         .mapInArrow(_tokenize_count, TERMS_SCHEMA)
     ).persist()
     new_terms_rows.count()
-    # collect the affected-term list NOW — its plan reads the old terms
-    # table, which is atomically replaced below (lazy re-reads would see
-    # deleted files)
-    aff_terms = sorted(
-        r["term"]
-        for r in old_terms_of_changed.union(new_terms_rows.select("term"))
+    # materialize the affected-term set NOW — its plan reads the old
+    # terms table, which is atomically replaced below (lazy re-reads
+    # would see deleted files). Kept DISTRIBUTED (parquet spill + read
+    # back): a 1% delta of a 10^12-doc corpus has millions of distinct
+    # terms — a driver collect() would OOM (round-1 verdict item).
+    aff_path = os.path.join(index_dir, ".affected_terms.__tmp__")
+    (
+        old_terms_of_changed.union(new_terms_rows.select("term"))
         .distinct()
-        .collect()
+        .write.mode("overwrite")
+        .parquet(aff_path)
     )
-    affected = spark.createDataFrame([(t,) for t in aff_terms], "term string")
+    affected = spark.read.parquet(aff_path)
 
     # -- patch terms table (drop changed docs' rows, add new) ----------
     terms_new = terms_old.join(
@@ -217,7 +250,18 @@ def apply_upsert(
     )
 
     # -- re-encode ONLY affected terms; rewrite ONLY their buckets ------
-    aff_buckets = sorted({bucket_of(t, n_buckets) for t in aff_terms})
+    # bucket set computed DISTRIBUTED (collects <= n_buckets rows);
+    # F.crc32 == zlib.crc32 == bucket_of (asserted in tests)
+    aff_buckets = sorted(
+        r["b"]
+        for r in affected.select(
+            (F.crc32(F.encode(F.col("term"), "UTF-8")) % n_buckets)
+            .cast("int")
+            .alias("b")
+        )
+        .distinct()
+        .collect()
+    )
     max_rows = int(meta.get("max_postings_per_row", 200_000))
     hot = (
         spark.read.parquet(p.term_stats)
@@ -225,7 +269,9 @@ def apply_upsert(
         .select("term", F.col("df").alias("_hot_df"))
     )
     n_docs_now = int(spark.read.parquet(p.stats).collect()[0]["N"])
-    t = terms_new.join(F.broadcast(affected), "term", "left_semi").join(
+    # affected can be millions of terms on a wide delta — plain semi
+    # join (AQE broadcasts it when it IS small); hot stays broadcast
+    t = terms_new.join(affected, "term", "left_semi").join(
         F.broadcast(hot), "term", "left"
     )
     n_rows_exp = F.ceil(F.col("_hot_df") / F.lit(max_rows))
@@ -245,7 +291,7 @@ def apply_upsert(
         bucket_dir = os.path.join(p.segments, f"bucket={b}")
         keep = (
             spark.read.parquet(bucket_dir)
-            .join(F.broadcast(affected), "term", "left_anti")
+            .join(affected, "term", "left_anti")
             if os.path.exists(bucket_dir)
             else None
         )
@@ -257,12 +303,14 @@ def apply_upsert(
         float(meta.get("min_avgdl_encoded", meta.get("avgdl_encoded", avgdl_now))),
         avgdl_now,
     )
+    meta["langs"] = langs
     with open(p.meta, "w") as f:
         json.dump(meta, f)
 
     changed.unpersist()
     new_terms_rows.unpersist()
     re_encoded.unpersist()
+    shutil.rmtree(aff_path, ignore_errors=True)
     return merged
 
 

@@ -11,8 +11,12 @@ Shared semantics (both this oracle and operators/query.py):
   * N = total rows of pages; avgdl = mean token count over all rows
     (empty/null text counts as length 0);
   * idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  [Lucene-style, >=0];
-  * score(d) = sum over unique terms of the expanded query present in d
-    of idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl));
+  * per-term contribution = floor(idf * wf * 1e9) as int64 FIXED-POINT,
+    where wf = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)); doc score =
+    sum of contributions / 1e9. Integer accumulation is exact and
+    order-independent, so engine scores are bit-identical to this
+    oracle under ANY partitioning (round 1 instead forced a sorted
+    float accumulation order, whose array aggregates anti-scaled);
   * synonym expansion: exact-key lookup of the RAW query string
     (/root/reference/search-api/internal/repository/vespaRepository.go:22-29);
     a hit adds an OR branch for the synonym value ahead of the original
@@ -87,17 +91,17 @@ class BruteForceBM25:
             if not any(all(t in tf for t in b) for b in branches):
                 continue
             dl = self.doc_lens[doc_id]
-            s = 0.0
+            s_fx = 0
             for t in all_terms:
                 f = tf.get(t, 0)
                 if f:
-                    s += (
-                        self.idf(t)
-                        * f
+                    wf = (
+                        f
                         * (BM25_K1 + 1.0)
                         / (f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl))
                     )
-            scored.append((s, doc_id))
+                    s_fx += math.floor(self.idf(t) * wf * 1e9)
+            scored.append((s_fx / 1e9, doc_id))
         scored.sort(key=lambda x: (-x[0], x[1]))
         total = len(scored)
         offset = limit * (page - 1)

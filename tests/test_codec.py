@@ -132,3 +132,54 @@ def test_encode_many_matches_per_group():
 def test_empty_varbyte():
     assert varbyte_encode(np.empty(0, dtype=np.uint64)) == b""
     assert varbyte_decode(b"").size == 0
+
+
+def test_lang_stream_roundtrip():
+    """The per-posting lang-id attribute stream survives encode/decode,
+    encode_many, and salted-sublist merge."""
+    rng = np.random.default_rng(5)
+    docs = np.sort(rng.choice(10**6, size=700, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 20, size=700).astype(np.int64)
+    dls = rng.integers(1, 400, size=700).astype(np.int64)
+    langs = rng.integers(0, 6, size=700).astype(np.int64)
+    enc = encode_postings(docs, tfs, tfs * 1.0, dls, langs)
+    d, t, l, g = decode_postings(enc, want_lang=True)
+    assert np.array_equal(g, langs) and np.array_equal(d, docs)
+    cut = 411
+    merged = merge_encoded(
+        [
+            encode_postings(docs[cut:], tfs[cut:], tfs[cut:] * 1.0, dls[cut:], langs[cut:]),
+            encode_postings(docs[:cut], tfs[:cut], tfs[:cut] * 1.0, dls[:cut], langs[:cut]),
+        ]
+    )
+    assert np.array_equal(decode_postings(merged, want_lang=True)[3], langs)
+    many = encode_many(
+        np.array([0, 300]), np.array([300, 700]), docs, tfs, dls, tfs * 1.0, langs
+    )
+    assert np.array_equal(decode_postings(many[0], want_lang=True)[3], langs[:300])
+    assert np.array_equal(decode_postings(many[1], want_lang=True)[3], langs[300:])
+    # block-subset decode keeps streams aligned
+    mask = np.zeros(len(enc["block_first_doc"]), dtype=bool)
+    mask[1] = True
+    d, t, l, g = decode_postings(enc, mask, want_lang=True)
+    assert np.array_equal(g, langs[128:256])
+
+
+def test_crc32_bucket_parity_with_spark(spark):
+    """upsert computes affected buckets with F.crc32 — must equal
+    bucket_of (zlib.crc32)."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from micce_search_engine_spark.operators.index_build import bucket_of
+
+    terms = ["the", "w000001", "日本語テスト", "naïve", "", "a" * 300]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", (F.crc32(F.encode(F.col("term"), "UTF-8")) % 16).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert r["b"] == bucket_of(r["term"], 16), r["term"]
+        assert bucket_of(r["term"], 16) == zlib.crc32(r["term"].encode()) % 16
