@@ -88,7 +88,10 @@ def main() -> None:
     timings["index_build"] = time.monotonic() - t0
 
     synonyms = dict(gen_synonyms())
-    eng = SearchEngine(spark, index_dir, synonyms=synonyms)
+    # preload: serving-mode engine (index pinned in memory, the Vespa
+    # analog) — single-query latencies measure query work, not parquet
+    # re-open
+    eng = SearchEngine(spark, index_dir, synonyms=synonyms, preload=True)
 
     qset = gen_queries(seed=42, n=100)
     specs = [

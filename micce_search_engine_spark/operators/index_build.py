@@ -205,6 +205,13 @@ def build_index(
     m = Manifest(index_dir)
     p = IndexPaths(index_dir)
     has_ts = "warc_ts" in pages.columns
+    # Column-prune FIRST: the index never touches ``html`` (text is the
+    # already-extracted content per BASELINE.json input_hint), and on a
+    # real Common-Crawl table html is 5-10x text — dragging it through
+    # the docid-assignment join + tokenize repartition would multiply
+    # every S1 shuffle by that factor.
+    keep = [c for c in ("url", "warc_ts", "text", "lang", doc_id_col) if c and c in pages.columns]
+    pages = pages.select(*dict.fromkeys(keep))
 
     # ---- S1: tokenize -> docs + terms -------------------------------
     st = atomic_stage(m, "S1_tokenize", [p.docs, p.terms])

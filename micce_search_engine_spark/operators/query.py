@@ -245,6 +245,7 @@ class SearchEngine:
         spark: SparkSession,
         index_dir: str,
         synonyms: dict[str, str] | None = None,
+        preload: bool = False,
     ):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
@@ -259,6 +260,15 @@ class SearchEngine:
         # true web scale this stays a filter-pushdown parquet lookup;
         # persist() is a no-op benefit there and a big one locally)
         self._term_stats = spark.read.parquet(self.paths.term_stats).persist()
+        # ``preload``: pin the segments table in executor memory — the
+        # analog of Vespa serving its index from memory. Queries then
+        # filter the in-memory columnar cache instead of re-opening
+        # parquet. At 10^12 docs a serving tier holds its shard the
+        # same way; batch/offline sessions leave this off and rely on
+        # bucket partition pruning.
+        self._segments_cached = None
+        if preload:
+            self._segments_cached = spark.read.parquet(self.paths.segments).persist()
         # lossless WAND after incremental upserts: stored block bounds
         # were encoded with a possibly-smaller avgdl; scaling them by
         # avgdl_now/min_avgdl_encoded keeps them true upper bounds
@@ -289,11 +299,13 @@ class SearchEngine:
 
     def _segments_for(self, terms: list[str], cols: list[str] | None = None) -> DataFrame:
         buckets = sorted({bucket_of(t, self.meta["n_buckets"]) for t in terms})
-        df = (
-            self.spark.read.parquet(self.paths.segments)
-            # partition pruning on bucket=, then row-group pruning on term
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        base = (
+            self._segments_cached
+            if self._segments_cached is not None
+            else self.spark.read.parquet(self.paths.segments)
         )
+        # partition pruning on bucket=, then row-group pruning on term
+        df = base.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
         if cols is not None:
             df = df.select(*cols)  # prune blob columns the mode won't read
         return df

@@ -1,0 +1,104 @@
+"""Streaming incremental indexing: update files -> checkpointed
+micro-batches -> apply_upsert -> queryable index; replay-safe.
+Plus the persisted LSH ANN index (partition-pruned probes)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from micce_search_engine_spark.corpus import gen_pages, pages_spark_schema
+from micce_search_engine_spark.operators.index_build import build_index
+from micce_search_engine_spark.operators.query import SearchEngine
+from micce_search_engine_spark.oracle import BruteForceBM25
+from micce_search_engine_spark.streaming.live_index import run_live_index_once
+
+
+def test_live_index_stream(spark, tmp_path):
+    base = str(tmp_path)
+    pdf = gen_pages(120, seed=31)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    pages_path = os.path.join(base, "pages")
+    pages.write.parquet(pages_path)
+    idx = os.path.join(base, "idx")
+    build_index(spark, pages, idx, n_buckets=4, max_postings_per_row=10**9)
+
+    updates_dir = os.path.join(base, "updates")
+    os.makedirs(updates_dir)
+    upd1 = spark.createDataFrame(
+        [
+            (pdf.url[0], "streamed replacement alpha beta", None, None, "en"),
+            ("https://zz.example/new0", "fresh streaming doc alpha", None, None, "en"),
+        ],
+        "url string, text string, warc_ts timestamp, html binary, lang string",
+    )
+    upd1.select("url", "warc_ts", "html", "text", "lang").write.mode("append").parquet(
+        updates_dir
+    )
+    ckpt = os.path.join(base, "ckpt")
+    n = run_live_index_once(spark, updates_dir, idx, pages_path, ckpt)
+    assert n >= 1
+
+    # second drain with no new files: checkpoint skips everything
+    assert run_live_index_once(spark, updates_dir, idx, pages_path, ckpt) == 0
+
+    # a second batch file arrives
+    upd2 = spark.createDataFrame(
+        [("https://zz.example/new1", "another streamed gamma doc", None, None, "de")],
+        "url string, text string, warc_ts timestamp, html binary, lang string",
+    )
+    upd2.select("url", "warc_ts", "html", "text", "lang").write.mode("append").parquet(
+        updates_dir
+    )
+    assert run_live_index_once(spark, updates_dir, idx, pages_path, ckpt) == 1
+
+    # final index state == batch oracle over the merged corpus
+    merged_pdf = spark.read.parquet(pages_path).select("url", "text", "lang").toPandas()
+    assert len(merged_pdf) == 122
+    eng = SearchEngine(spark, idx)
+    docs = spark.read.parquet(os.path.join(idx, "docs"))
+    url_of = {r["doc_id"]: r["url"] for r in docs.collect()}
+    oracle = BruteForceBM25(merged_pdf)
+    for q in ["alpha", "streaming", "gamma", "the"]:
+        got = eng.search(q, limit=10, page=1)
+        exp = oracle.search(q, limit=10, page=1)
+        assert got["total_hits"] == exp["total_hits"], q
+        got_urls = sorted((url_of[d], s) for d, s in got["results"])
+        exp_urls = sorted((oracle.urls[d], s) for d, s in exp["results"])
+        assert got_urls == exp_urls, q
+
+
+def test_preload_engine_same_results(spark, tiny_index, synonyms):
+    cold = SearchEngine(spark, tiny_index, synonyms=synonyms)
+    hot = SearchEngine(spark, tiny_index, synonyms=synonyms, preload=True)
+    for q, lf in [("the", None), ("w000002", "ja"), ("alias0", None)]:
+        a = cold.search(q, lang_filter=lf, limit=10, page=1)
+        b = hot.search(q, lang_filter=lf, limit=10, page=1)
+        assert a == b, q
+
+
+def test_ann_persisted_index(spark, tmp_path):
+    import numpy as np
+
+    from micce_search_engine_spark.operators.ann import (
+        build_ann_index,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(1, 300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = str(tmp_path / "annidx")
+    build_ann_index(df, out, dim=16)
+    q = rows[5][1]
+    direct = [(r["vec_id"], round(r["cosine"], 9)) for r in lsh_topk(df, q, dim=16).collect()]
+    indexed = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in lsh_topk_indexed(spark, out, q).collect()
+    ]
+    assert direct == indexed
+    # partition pruning: the physical plan must carry a bucket filter
+    plan = lsh_topk_indexed(spark, out, q)._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan

@@ -107,7 +107,7 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")  # 48g G1 heap measured 2.7x SLOWER at 16 threads (huge-young-gen first-touch)
     env.setdefault("SPARK_GRAFT_WORKDIR", "/dev/shm/mse")
     s0, t0 = _read_steal()
     out = subprocess.run(
