@@ -508,6 +508,36 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+# html synthesized around documents.text — IDENTICAL string built by the
+# Spark entry and the SQL oracle, then both extract independently
+_HTML_PRE = (
+    '<html><head><style>p {c: red}</style></head>'
+    '<body><h1>Doc &amp; title</h1><p>'
+)
+_HTML_POST = '</p><script>var x = "<p>";</script></body></html>'
+
+
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html -> text extraction (mapInArrow over binary; SURVEY §2D's
+    reserved extraction pass), oracle = the same RE2-safe rule chain in
+    DuckDB regexp_replace."""
+    _ensure_pyfiles(spark)
+    from micce_search_engine_spark.functions.html_extract import extract_text_df
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit(_HTML_PRE), F.coalesce(F.col("text"), F.lit("")), F.lit(_HTML_POST)
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return extract_text_df(docs, key_col="doc_id").select(
+        "doc_id", F.col("text").alias("extracted")
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_pyfiles(spark)
     from micce_search_engine_spark.operators.multimodal import extract_binary_meta
@@ -751,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "multimodal_meta": _q_multimodal_meta,
+        "html_extract": _q_html_extract,
         "merge_upsert": _q_merge_upsert,
         "streaming_feed": _q_streaming_feed,
         "manifest_lineage": _q_manifest_lineage,
@@ -1077,6 +1108,15 @@ FROM documents
 """
     sqls["fingerprint"] = """
 SELECT doc_id, md5(lower(coalesce(text, ''))) AS fp FROM documents
+"""
+    from micce_search_engine_spark.functions.html_extract import EXTRACT_SQL_EXPR
+
+    _html_col = (
+        f"('{_HTML_PRE}' || coalesce(text, '') || '{_HTML_POST.replace(chr(39), chr(39) * 2)}')"
+    )
+    sqls["html_extract"] = f"""
+SELECT doc_id, {EXTRACT_SQL_EXPR.format(col=_html_col)} AS extracted
+FROM documents
 """
     sqls["multimodal_meta"] = """
 SELECT doc_id,

@@ -40,7 +40,11 @@ WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp")
 
 
 def ensure_corpus(spark, n: int) -> str:
-    path = f"{WORKDIR}/mse_bench_corpus/n{n}"
+    # v2 layout: many small files per chunk — a 10-file corpus caps the
+    # scan (and everything chained after it) at ~10 parallel row
+    # groups, which silently throttled the 16-core legs; a real
+    # Common-Crawl table has thousands of files
+    path = f"{WORKDIR}/mse_bench_corpus/v2_n{n}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -51,7 +55,7 @@ def ensure_corpus(spark, n: int) -> str:
             m = min(chunk, n - start)
             pdf = gen_pages(m, seed=42 + start, start=start)
             df = spark.createDataFrame(pdf, schema=pages_spark_schema())
-            df.write.mode("overwrite" if first else "append").parquet(path)
+            df.repartition(8).write.mode("overwrite" if first else "append").parquet(path)
             first = False
         open(marker, "w").close()
     return path

@@ -218,6 +218,11 @@ Raw JSON: BENCH/scaling_c{N_SMALL}.json, BENCH/scaling_c{N_BIG}.json
   docs join at query time), explicit tokenize repartition (AQE
   size-based coalescing starved the CPU-bound stage), distributed
   upsert delta. Round-1 batch100 ANTI-scaled (0.17); see table.
+* Build-leg fixed costs (docid offset collect, stats/meta collects,
+  stage commits, worker spin-up; ~15s total) do not shrink with cores
+  and weigh 2x more on the big leg at this corpus size — they amortize
+  away at cluster scale (see decomposition note of the committed
+  BASELINE.md).
 * Correctness at both parallelism levels is asserted separately:
   tests/test_build_pipeline.py::test_parallelism_invariance proves
   byte-identical segment artifacts and identical docIDs across
