@@ -19,16 +19,23 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # cast BEFORE multiplying: float32*float32 rounds to float32 and
+    # diverges from the oracle's double products in the 6th decimal
+    # (caught at sf0.1 — 2000 vectors finally hit a rounding boundary)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
     )
 
 

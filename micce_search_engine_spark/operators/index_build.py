@@ -239,7 +239,10 @@ def build_index(
             with_ids = with_ids.withColumn(
                 "lang_id", lang_map[F.coalesce(F.col("lang"), F.lit(""))].cast("long")
             ).persist()
-            st.rows_in = with_ids.count()
+            # no eager count: the terms write below materializes the
+            # cache in the same pass (an explicit count() added one
+            # full extra read of the input per build); rows_in is
+            # recovered from the docs table's parquet footers
             # Tokenize is CPU-bound Python-per-byte, not IO-bound: AQE's
             # size-based coalescing would hand it ~64MB partitions (a
             # handful of tasks regardless of core count — measured FLAT
