@@ -328,10 +328,17 @@ def build_index(
             ).otherwise(F.lit(0))
             terms = terms.withColumn("salt", salt.cast("int")).drop("_hot_df")
             # explicit partition count: with AQE on, repartition(cols)
-            # may coalesce to 1 tiny partition and serialize the encode
+            # may coalesce to 1 tiny partition and serialize the encode.
+            # DATA-AWARE: cap ~2M posting rows per partition so the
+            # per-partition (term,salt,doc_id) sort stays in execution
+            # memory — with a fixed count, doubling the corpus doubled
+            # per-task sort size and the 16-thread legs started
+            # spilling (measured superlinear build time at 1M docs)
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            n_rows = terms.count()  # parquet footer metadata, no scan
+            n_enc = max(n_shuffle, -(-n_rows // 2_000_000))
             (
-                terms.repartition(n_shuffle, "term", "salt")
+                terms.repartition(n_enc, "term", "salt")
                 .sortWithinPartitions("term", "salt", "doc_id")
                 .mapInPandas(_make_partition_encoder(avgdl, n_buckets), SEGMENT_SCHEMA)
                 # cluster encoded rows by bucket so the dynamic-partition

@@ -279,11 +279,14 @@ def apply_upsert(
         F.col("_hot_df").isNotNull(),
         F.floor(F.col("doc_id") * n_rows_exp / F.lit(n_docs_now)),
     ).otherwise(F.lit(0))
+    # data-aware partition count like the build's S3: ~2M rows per
+    # partition keeps the per-task sort in memory on wide deltas
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_enc = max(n_shuffle, -(-t.count() // 2_000_000))
     re_encoded = (
         t.withColumn("salt", salt.cast("int"))
         .drop("_hot_df")
-        .repartition(n_shuffle, "term", "salt")
+        .repartition(n_enc, "term", "salt")
         .sortWithinPartitions("term", "salt", "doc_id")
         .mapInPandas(_make_partition_encoder(avgdl_now, n_buckets), SEGMENT_SCHEMA)
     ).persist()
