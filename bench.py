@@ -36,7 +36,12 @@ from micce_search_engine_spark.corpus import (  # noqa: E402
 from micce_search_engine_spark.session import get_spark  # noqa: E402
 
 
-WORKDIR = os.environ.get("SPARK_GRAFT_WORKDIR", "/tmp")
+# default to tmpfs when present: this VM throttles buffered disk writes
+# to ~30 MB/s, which would disk-bind every leg (a real cluster's
+# aggregate disk bandwidth scales with executors)
+WORKDIR = os.environ.get(
+    "SPARK_GRAFT_WORKDIR", "/dev/shm/mse" if os.path.isdir("/dev/shm") else "/tmp"
+)
 
 
 def ensure_corpus(spark, n: int) -> str:
