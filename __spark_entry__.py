@@ -419,6 +419,27 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: inverted lists under deterministic centroids (the
+    8 lowest-id data vectors — a stand-in for sampled k-means that the
+    SQL oracle can reproduce), probe the 4 nearest lists, exact cosine
+    within them."""
+    _ensure_pyfiles(spark)
+    from micce_search_engine_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    qv = _query_vec(spark, sf_dir)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, cents, k=10, n_probes=4
+    ).select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
 MF_QUERY = "fastjoin"  # expands to 2 branches x 2 fields = 4 OR branches
 
 
@@ -616,6 +637,34 @@ def _q_manifest_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window count over the events stream
+    (event-time semantics; availableNow drain == batch GROUP BY, which
+    the oracle checks via time_bucket)."""
+    _ensure_pyfiles(spark)
+    import shutil
+    import tempfile
+
+    from micce_search_engine_spark.streaming.windows import windowed_event_counts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a DIRECTORY; stage the single
+    # parquet file into one (symlink; copy as fallback)
+    work = tempfile.mkdtemp(prefix="mse_winagg_")
+    try:
+        dst = os.path.join(work, "events.parquet")
+        try:
+            os.symlink(os.path.abspath(path), dst)
+        except OSError:
+            shutil.copy(path, dst)
+        out = windowed_event_counts(spark, work, schema, window="10 minutes")
+        out = out.localCheckpoint(eager=True)  # materialize before cleanup
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def _q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -773,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "bm25_multifield": _q_bm25_multifield,
         "geo_search": _q_geo_search,
         "condition_filters": _q_condition_filters,
@@ -784,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _q_html_extract,
         "merge_upsert": _q_merge_upsert,
         "streaming_feed": _q_streaming_feed,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         "manifest_lineage": _q_manifest_lineage,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "join_top_customers": _q_join_top_customers,
@@ -1141,6 +1192,11 @@ m AS (
 SELECT doc_id, lang, md5(coalesce(text, '')) AS text_fp FROM m
 """
     sqls["streaming_feed"] = "SELECT count(*)::BIGINT AS n_rows FROM documents"
+    sqls["stream_windowed_counts"] = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type, count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
     sqls["agg_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
@@ -1301,5 +1357,43 @@ d AS (
 )
 SELECT vec_id, round(dot / (na * nb), 6)::DOUBLE AS cosine_r
 FROM d ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
+"""
+    # IVF-flat: centroids = the 8 lowest-id data vectors; assignment by
+    # squared L2 (exact double math, centroid-id tie-break), probe the
+    # 4 nearest lists, exact cosine within them — mirrors ivf_topk
+    sqls["ann_ivf_topk"] = """
+WITH cents AS (
+  SELECT vec_id - 1 AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                  p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))) AS d
+  FROM embeddings e, cents c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d2 WHERE vec_id <> 0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM d2 WHERE vec_id = 0 ORDER BY d, cid LIMIT 4
+),
+cand AS (
+  SELECT a.vec_id FROM assigned a WHERE a.cid IN (SELECT cid FROM probes)
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, (SELECT qv FROM q)),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         (SELECT sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) FROM q) AS nb
+  FROM embeddings e JOIN cand USING (vec_id)
+)
+SELECT vec_id, round(dot / (na * nb), 6)::DOUBLE AS cosine_r
+FROM sc ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
 """
     return sqls

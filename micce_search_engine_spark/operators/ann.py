@@ -161,6 +161,70 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF list assignment: nearest centroid by squared L2 (Column math;
+    ties -> lowest centroid id). Centroids are passed in — at 10^12
+    scale they come from a sampled k-means; for oracle-checkable
+    determinism the caller may seed them from the dataset itself
+    (e.g. the k lowest-id vectors)."""
+    best_d = None
+    best_i = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d, best_i = d, F.lit(i)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return df.withColumn("ivf_list", best_i.cast("int"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: scan only the ``n_probes`` inverted
+    lists whose centroids are nearest the query (squared L2, centroid
+    id tie-break), exact cosine within them. The scale layout persists
+    the assigned table partitioned by ivf_list — same pattern as
+    build_ann_index."""
+    import math
+
+    q = [float(x) for x in query_vec]
+
+    def d2(c):
+        return sum((float(a) - b) * (float(a) - b) for a, b in zip(c, q))
+
+    order = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))
+    probes = order[: max(n_probes, 1)]
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    return (
+        cosine_to_query(cand, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def build_ann_index(
     df: DataFrame,
     out_dir: str,

@@ -102,3 +102,49 @@ def test_ann_persisted_index(spark, tmp_path):
     # partition pruning: the physical plan must carry a bucket filter
     plan = lsh_topk_indexed(spark, out, q)._jdf.queryExecution().executedPlan().toString()
     assert "bucket" in plan
+
+
+def test_windowed_event_counts_equals_batch(spark, tmp_path):
+    """Watermarked streaming window agg == batch GROUP BY time bucket."""
+    import pandas as pd
+
+    from micce_search_engine_spark.streaming.windows import windowed_event_counts
+
+    rows = []
+    base = pd.Timestamp("2024-03-01T00:00:00")
+    for i in range(500):
+        rows.append((i, f"t{i % 3}", (base + pd.Timedelta(seconds=i * 97)).to_pydatetime()))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    d = str(tmp_path / "ev")
+    df.write.parquet(d)
+    got = windowed_event_counts(spark, d, df.schema, window="10 minutes")
+    batch = (
+        df.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_ivf_topk_deterministic_and_sane(spark):
+    import numpy as np
+
+    from micce_search_engine_spark.operators.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(12)
+    rows = []
+    for i in range(1, 150):
+        noise = rng.standard_normal(12) * (0.05 if i <= 5 else 1.0)
+        rows.append((i, [float(x) for x in base + noise]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [v for _, v in rows[:8]]
+    q = [float(x) for x in base]
+    a = [(r["vec_id"], round(r["cosine"], 9)) for r in ivf_topk(df, q, cents, k=5, n_probes=5).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 9)) for r in ivf_topk(df, q, cents, k=5, n_probes=5).collect()]
+    assert a == b and len(a) == 5
+    exact = {r["vec_id"] for r in brute_force_topk(df, q, k=5).collect()}
+    # centroid 1..5 ARE the planted neighbors; probing their lists must recover most
+    assert len({v for v, _ in a} & exact) >= 4
