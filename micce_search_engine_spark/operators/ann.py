@@ -101,12 +101,33 @@ def _int_dot(a, plane_row: np.ndarray):
     )
 
 
+#: |component| bound assumed by the int64 projection: each plane entry
+#: is < 2^31 and each fixed-point component is |x|*2^20, so the dot sum
+#: is bounded by dim * 2^31 * MAX_ABS_COMPONENT * 2^20 — keeping that
+#: under 2^63 needs dim * MAX_ABS_COMPONENT <= 2^12. Typical embedding
+#: columns are (near-)unit-normalized, so |x| <= 2 is generous.
+MAX_ABS_COMPONENT = 2.0
+
+
+def _check_int_dot_bound(dim: int) -> None:
+    """int64 overflow guard (ADVICE r2): Spark wraps silently on
+    overflow while the DuckDB oracle errors — fail loudly instead of
+    diverging at the edge."""
+    if dim * MAX_ABS_COMPONENT > (1 << 12):
+        raise ValueError(
+            f"hyperplane LSH int64 projection can overflow: dim={dim} "
+            f"* max|component|={MAX_ABS_COMPONENT} > 2^12; lower "
+            "VEC_QUANT or reduce dim"
+        )
+
+
 def hyperplane_buckets(
     df: DataFrame, dim: int, n_planes: int = 8, seed: int = 42, vec_col: str = "embedding"
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: sign pattern of
     ``n_planes`` deterministic integer projections (exact int64 math,
-    SQL-reproducible)."""
+    SQL-reproducible). Assumes |component| <= MAX_ABS_COMPONENT."""
+    _check_int_dot_bound(dim)
     planes = det_planes_int(n_planes, dim, seed)
     vfx = _vec_fx(vec_col)
     bucket = F.lit(0).cast("long")
@@ -122,8 +143,14 @@ def query_probes(
     """Query bucket + multi-probe single-bit flips, nearest planes
     first (|projection| ascending, plane index tie-break) — pure
     integer math, identical in the SQL oracle."""
+    _check_int_dot_bound(dim)
     planes = det_planes_int(n_planes, dim, seed)
     qfx = [math_floor(float(x) * VEC_QUANT) for x in query_vec]
+    if qfx and max(abs(v) for v in qfx) > MAX_ABS_COMPONENT * VEC_QUANT:
+        raise ValueError(
+            "query vector component exceeds the |x| <= "
+            f"{MAX_ABS_COMPONENT} bound the int64 LSH projection assumes"
+        )
     proj = [int(sum(int(p) * v for p, v in zip(planes[i], qfx))) for i in range(n_planes)]
     qbucket = sum((1 << i) for i in range(n_planes) if proj[i] > 0)
     flip_order = sorted(range(n_planes), key=lambda i: (abs(proj[i]), i))

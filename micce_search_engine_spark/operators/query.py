@@ -251,6 +251,15 @@ class SearchEngine:
         self.paths = IndexPaths(index_dir)
         with open(self.paths.meta) as f:
             self.meta = json.load(f)
+        # v1 indexes have no per-posting lang stream: the score_lang
+        # column select would fail with AnalysisException deep inside a
+        # query (ADVICE r2) — fail at open time with a clear remedy
+        if int(self.meta.get("version", 1)) < 2:
+            raise RuntimeError(
+                f"index at {index_dir} is format v{self.meta.get('version', 1)} "
+                "(no lang attribute stream); rebuild with build_index "
+                "(format v2) before opening"
+            )
         stats = spark.read.parquet(self.paths.stats).collect()[0]
         self.N = int(stats["N"])
         self.avgdl = float(stats["avgdl"])

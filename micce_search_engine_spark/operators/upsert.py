@@ -121,6 +121,12 @@ def apply_upsert(
     p = IndexPaths(index_dir)
     with open(p.meta) as f:
         meta = json.load(f)
+    if int(meta.get("version", 1)) < 2:
+        raise RuntimeError(
+            f"index at {index_dir} is format v{meta.get('version', 1)} "
+            "(no lang_id in terms table); rebuild with build_index "
+            "(format v2) before upserting"
+        )
     n_buckets = int(meta["n_buckets"])
 
     merged = merge_pages(old_pages, updates, key="url")
@@ -188,8 +194,11 @@ def apply_upsert(
     # -- affected terms: old terms of changed docs + new terms ---------
     terms_old = spark.read.parquet(p.terms)
     changed_ids = changed.select("doc_id")
+    # no forced broadcast: a backfill-sized delta's changed-id set can
+    # exceed broadcast memory; AQE broadcasts it when it IS small
+    # (same reasoning as the `affected` join below — ADVICE r2)
     old_terms_of_changed = (
-        terms_old.join(F.broadcast(changed_ids), "doc_id", "left_semi")
+        terms_old.join(changed_ids, "doc_id", "left_semi")
         .select("term")
         .distinct()
     )
@@ -218,7 +227,7 @@ def apply_upsert(
 
     # -- patch terms table (drop changed docs' rows, add new) ----------
     terms_new = terms_old.join(
-        F.broadcast(changed_ids), "doc_id", "left_anti"
+        changed_ids, "doc_id", "left_anti"
     ).unionByName(new_terms_rows)
     _atomic_overwrite(terms_new, p.terms)
     terms_new = spark.read.parquet(p.terms)
