@@ -301,6 +301,120 @@ def _q_bm25_wand_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score_r double")
 
 
+# deterministic Japanese-text corpus: 16 hex chars of md5(doc_id) mapped
+# 1:1 to katakana — same derivation in Spark and DuckDB (translate is
+# char-wise in both), so the oracle can re-tokenize independently
+_KANA = "アイウエオカキクケコサシスセソタ"
+_JA_TEXT_SPARK = (
+    "concat('doc ', translate(substr(md5(cast(doc_id as string)), 1, 16), "
+    f"'0123456789abcdef', '{_KANA}'))"
+)
+_CJK_QUERIES = ["アイ", "ウエオ", "カキクケ"]
+_JA_ENGINES: dict = {}
+
+
+def _ja_engine(spark: SparkSession, sf_dir: str):
+    key = os.path.abspath(sf_dir)
+    if key in _JA_ENGINES:
+        return _JA_ENGINES[key]
+    _ensure_pyfiles(spark)
+    from micce_search_engine_spark.operators.index_build import build_index
+    from micce_search_engine_spark.operators.query import SearchEngine
+
+    tag = hashlib.sha1(key.encode()).hexdigest()[:10]
+    index_dir = os.path.join("/tmp", "mse_entry_idx_v2", tag + "_ja")
+    pages = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id",
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.expr(_JA_TEXT_SPARK).alias("text"),
+        F.lit("ja").alias("lang"),
+    )
+    build_index(
+        spark, pages, index_dir, n_buckets=8, max_postings_per_row=2000,
+        doc_id_col="doc_id",
+    )
+    eng = SearchEngine(spark, index_dir)
+    _JA_ENGINES[key] = eng
+    return eng
+
+
+def _q_cjk_bigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 CJK: unsegmented kana text indexed + queried via character
+    bigrams (kuromoji mode=search analog, services.xml:7-12); oracle
+    re-derives the bigram tokenization with SQL substr windows."""
+    eng = _ja_engine(spark, sf_dir)
+    rows = []
+    for qid, q in enumerate(_CJK_QUERIES):
+        res = eng.search(q, limit=10, page=1)
+        for rank, (doc_id, score) in enumerate(res["results"], start=1):
+            rows.append(
+                (qid, int(doc_id), rank, round(float(score), 6), int(res["total_hits"]))
+            )
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank int, score_r double, total_hits long"
+    )
+
+
+def _cjk_sql() -> str:
+    qvals = ", ".join(f"({i}, '{q}')" for i, q in enumerate(_CJK_QUERIES))
+    return f"""
+WITH ja AS (
+  SELECT doc_id,
+         translate(substr(md5(doc_id::VARCHAR), 1, 16),
+                   '0123456789abcdef', '{_KANA}') AS kana
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, 'doc' AS term FROM ja
+    UNION ALL
+    SELECT doc_id, substr(kana, g.i::INT, 2) AS term
+    FROM ja, (SELECT unnest(range(1, 16)) AS i) g
+  ) GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, 16::BIGINT AS dl FROM ja),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, 16.0 AS avgdl),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qmeta(query_id, q) AS (VALUES {qvals}),
+qterms AS (
+  SELECT DISTINCT query_id, substr(q, g.i::INT, 2) AS term
+  FROM qmeta, (SELECT unnest(range(1, 16)) AS i) g
+  WHERE g.i <= length(q) - 1
+),
+qsize AS (SELECT query_id, count(*)::BIGINT AS sz FROM qterms GROUP BY 1),
+matched AS (
+  SELECT q.query_id, f.doc_id, count(*)::BIGINT AS m,
+         sum(floor(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (f.tf * {K1_P1!r}
+              / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl)))
+           * 1e9
+         )::BIGINT) AS s_fx
+  FROM qterms q
+  JOIN tf f USING (term)
+  JOIN dl l ON f.doc_id = l.doc_id
+  CROSS JOIN stats s
+  JOIN tdf d ON d.term = f.term
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT m.query_id, m.doc_id, m.s_fx
+  FROM matched m JOIN qsize z USING (query_id)
+  WHERE m.m = z.sz
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id ORDER BY s_fx DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY query_id) AS total
+  FROM cand
+)
+SELECT query_id, doc_id, rn::INT AS rank,
+       round(s_fx::DOUBLE / 1e9, 6)::DOUBLE AS score_r,
+       total::BIGINT AS total_hits
+FROM ranked WHERE rn <= 10
+"""
+
+
 def _q_posting_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     return eng._postings(PROBE_TERMS).select("term", "doc_id", "tf", "dl")
@@ -811,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_totals": _q_bm25_totals,
         "bm25_wand_single": _q_bm25_wand_single,
+        "cjk_bigram_search": _q_cjk_bigram_search,
         "posting_roundtrip": _q_posting_roundtrip,
         "corpus_stats": _q_corpus_stats,
         "term_stats": _q_term_stats,
@@ -1068,6 +1183,7 @@ scored AS (
 SELECT doc_id, round(score, 6)::DOUBLE AS score_r
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
+    sqls["cjk_bigram_search"] = _cjk_sql()
     sqls["posting_roundtrip"] = f"""
 WITH {_TOKS}
 SELECT f.term, f.doc_id, f.tf, l.dl
