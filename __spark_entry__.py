@@ -85,7 +85,7 @@ def _engine(spark: SparkSession, sf_dir: str):
     from micce_search_engine_spark.operators.query import SearchEngine
 
     tag = hashlib.sha1(key.encode()).hexdigest()[:10]
-    index_dir = os.path.join("/tmp", "mse_entry_idx_v2", tag)
+    index_dir = os.path.join("/tmp", "mse_entry_idx_v3", tag)
     build_index(
         spark,
         _docs_as_pages(spark, sf_dir),
@@ -140,7 +140,7 @@ def _mf_engine(spark: SparkSession, sf_dir: str):
     from micce_search_engine_spark.operators.query import SearchEngine
 
     tag = hashlib.sha1(key.encode()).hexdigest()[:10]
-    base = os.path.join("/tmp", "mse_entry_idx_v2", tag + "_mf")
+    base = os.path.join("/tmp", "mse_entry_idx_v3", tag + "_mf")
     pages = _docs_as_pages(spark, sf_dir).withColumn("title", F.expr(_TITLE_SPARK))
     idxs = build_field_indexes(
         spark,
@@ -301,6 +301,29 @@ def _q_bm25_wand_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, score_r double")
 
 
+def _q_bm25_wand_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized block-max WAND: multi-term AND branch ('spark join')
+    with pruning; oracle is exact BM25 over docs containing BOTH terms —
+    proves the round-3 generalization loses nothing."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search("spark join", limit=10, page=1, topk_only=True)
+    rows = [(int(d), round(float(s), 6)) for d, s in res["results"]]
+    return spark.createDataFrame(rows, "doc_id long, score_r double")
+
+
+def _q_bm25_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched WAND (search_batch_topk): per-query block pruning, one
+    plan for the whole query set; oracle is the exact per-query page
+    window — rank- and score-identical to the unpruned path."""
+    from micce_search_engine_spark.operators.batch_query import search_batch_topk
+
+    eng = _engine(spark, sf_dir)
+    out = search_batch_topk(eng, QUERY_SPECS)
+    return out.select(
+        "query_id", "doc_id", "rank", F.round("score", 6).alias("score_r")
+    )
+
+
 # deterministic Japanese-text corpus: 16 hex chars of md5(doc_id) mapped
 # 1:1 to katakana — same derivation in Spark and DuckDB (translate is
 # char-wise in both), so the oracle can re-tokenize independently
@@ -322,7 +345,7 @@ def _ja_engine(spark: SparkSession, sf_dir: str):
     from micce_search_engine_spark.operators.query import SearchEngine
 
     tag = hashlib.sha1(key.encode()).hexdigest()[:10]
-    index_dir = os.path.join("/tmp", "mse_entry_idx_v2", tag + "_ja")
+    index_dir = os.path.join("/tmp", "mse_entry_idx_v3", tag + "_ja")
     pages = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id",
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
@@ -516,19 +539,26 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed multi-probe ANN. Hyperplanes are md5-derived INTEGER
-    vectors and components are 2^20 fixed-point, so bucket ids, probe
-    order and the candidate set are exact int64 arithmetic the DuckDB
-    oracle reproduces bit-for-bit (round 1 used numpy Gaussian planes —
-    no_oracle)."""
+    """LSH-bucketed multi-probe ANN over the PERSISTED index — the
+    scale path (vectors partitioned by bucket; the query scans only its
+    probe partitions). Hyperplanes are md5-derived INTEGER vectors and
+    components are 2^20 fixed-point, so bucket ids, probe order and the
+    candidate set are exact int64 arithmetic the DuckDB oracle
+    reproduces bit-for-bit. Round 2 measured the recompute-per-query
+    variant here; the indexed path is algorithm-identical (same planes,
+    same probes) and is what a deployment runs (VERDICT r2 #6)."""
     _ensure_pyfiles(spark)
-    from micce_search_engine_spark.operators.ann import lsh_topk
+    from micce_search_engine_spark.operators.ann import build_ann_index, lsh_topk_indexed
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).filter(
         F.col("vec_id") != 0
     )
     qv = _query_vec(spark, sf_dir)
-    return lsh_topk(emb, qv, dim=len(qv), k=10).select(
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    ann_dir = os.path.join("/tmp", "mse_entry_ann_v3", tag)
+    if not os.path.exists(os.path.join(ann_dir, "ann_meta.json")):
+        build_ann_index(emb, ann_dir, dim=len(qv))
+    return lsh_topk_indexed(spark, ann_dir, qv, k=10).select(
         "vec_id", F.round("cosine", 6).alias("cosine_r")
     )
 
@@ -552,6 +582,110 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") != 0), qv, cents, k=10, n_probes=4
     ).select("vec_id", F.round("cosine", 6).alias("cosine_r"))
+
+
+def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids (round-3): distributed deterministic
+    Lloyd's k-means (fixed-point int64 component sums -> bit-identical
+    under any partitioning), persisted index partitioned by ivf_list,
+    partition-pruned probe scan. The oracle re-runs the SAME k-means
+    unrolled in SQL — training, assignment, probing and cosine all
+    reproduce bit-for-bit."""
+    _ensure_pyfiles(spark)
+    from micce_search_engine_spark.operators.ann import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = _query_vec(spark, sf_dir)
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    ivf_dir = os.path.join("/tmp", "mse_entry_ivf_v3", tag)
+    if not os.path.exists(os.path.join(ivf_dir, "ivf_meta.json")):
+        cents = train_ivf_centroids(emb, dim=len(qv), k=8, iters=2)
+        build_ivf_index(emb.filter(F.col("vec_id") != 0), ivf_dir, cents)
+    return ivf_topk_indexed(spark, ivf_dir, qv, k=10, n_probes=2).select(
+        "vec_id", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+def _ivf_trained_sql(k: int = 8, iters: int = 2, n_probes: int = 2, dim: int = 64) -> str:
+    """Unrolled deterministic k-means + IVF probe in DuckDB SQL —
+    mirrors train_ivf_centroids/ivf_assign/cosine exactly (fixed-point
+    integer sums for means; (a-b)*(a-b) fold distances; list_sum is
+    the same left fold as Spark's F.aggregate, proven bit-equal by the
+    embedding_topk entry since round 1)."""
+    Q = 1 << 20
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
+    parts = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list,
+         list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for t in range(iters):
+        da = d2.format(a="e.embedding", b="c.vec")
+        parts.append(
+            f"""a{t} AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.list FROM c{t} c ORDER BY {da} ASC, c.list ASC LIMIT 1) AS l
+  FROM embeddings e
+)"""
+        )
+        parts.append(
+            f"""m{t} AS (
+  SELECT l AS list, g.i - 1 AS idx,
+         sum(floor(embedding[g.i]::DOUBLE * {Q})::BIGINT) AS s, count(*) AS n
+  FROM a{t}, (SELECT unnest(range(1, {dim} + 1)) AS i) g
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS (
+  SELECT c.list,
+         coalesce(
+           (SELECT list(m.s::DOUBLE / m.n / {Q}.0 ORDER BY m.idx)
+            FROM m{t} m WHERE m.list = c.list),
+           c.vec) AS vec
+  FROM c{t} c
+)"""
+        )
+    dq = d2.format(a="q.qv", b="c.vec")
+    daf = d2.format(a="e.embedding", b="c.vec")
+    parts.append("q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)")
+    parts.append(
+        f"""probes AS (
+  SELECT c.list FROM c{iters} c, q ORDER BY {dq} ASC, c.list ASC LIMIT {n_probes}
+)"""
+    )
+    parts.append(
+        f"""af AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.list FROM c{iters} c ORDER BY {daf} ASC, c.list ASC LIMIT 1) AS l
+  FROM embeddings e WHERE e.vec_id <> 0
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """,
+d AS (
+  SELECT a.vec_id,
+         list_sum(list_transform(list_zip(a.embedding, (SELECT qv FROM q)),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE)) AS dot,
+         sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+         (SELECT sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) FROM q) AS nb
+  FROM af a WHERE a.l IN (SELECT list FROM probes)
+)
+SELECT vec_id, round(dot / (na * nb), 6)::DOUBLE AS cosine_r
+FROM d ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
+"""
+    )
 
 
 MF_QUERY = "fastjoin"  # expands to 2 branches x 2 fields = 4 OR branches
@@ -925,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_totals": _q_bm25_totals,
         "bm25_wand_single": _q_bm25_wand_single,
+        "bm25_wand_multi": _q_bm25_wand_multi,
+        "bm25_wand_batch": _q_bm25_wand_batch,
         "cjk_bigram_search": _q_cjk_bigram_search,
         "posting_roundtrip": _q_posting_roundtrip,
         "corpus_stats": _q_corpus_stats,
@@ -938,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "bm25_multifield": _q_bm25_multifield,
         "geo_search": _q_geo_search,
         "condition_filters": _q_condition_filters,
@@ -1183,6 +1320,42 @@ scored AS (
 SELECT doc_id, round(score, 6)::DOUBLE AS score_r
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
 """
+    sqls["bm25_wand_multi"] = f"""
+WITH {_TOKS},
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+tdf AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN ('spark', 'join') GROUP BY 1
+),
+contrib AS (
+  SELECT f.doc_id,
+         floor(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (f.tf * {K1_P1!r}
+              / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl)))
+           * 1e9
+         )::BIGINT AS c_fx
+  FROM tf f JOIN dl l USING (doc_id) CROSS JOIN stats s
+  JOIN tdf d ON d.term = f.term
+  WHERE f.term IN ('spark', 'join')
+),
+scored AS (
+  SELECT doc_id, sum(c_fx) AS s_fx, count(*) AS m FROM contrib GROUP BY 1
+)
+SELECT doc_id, round(s_fx::DOUBLE / 1e9, 6)::DOUBLE AS score_r
+FROM scored WHERE m = 2 ORDER BY s_fx DESC, doc_id LIMIT 10
+"""
+    sqls["bm25_wand_batch"] = _bm25_sql(
+        """
+SELECT r.query_id, r.doc_id,
+       (r.rn - m.lim * (m.pg - 1))::INT AS rank,
+       round(r.score, 6)::DOUBLE AS score_r
+FROM ranked r JOIN qmeta m USING (query_id)
+WHERE r.rn > m.lim * (m.pg - 1) AND r.rn <= m.lim * m.pg"""
+    )
     sqls["cjk_bigram_search"] = _cjk_sql()
     sqls["posting_roundtrip"] = f"""
 WITH {_TOKS}
@@ -1512,4 +1685,5 @@ sc AS (
 SELECT vec_id, round(dot / (na * nb), 6)::DOUBLE AS cosine_r
 FROM sc ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
 """
+    sqls["ann_ivf_trained"] = _ivf_trained_sql()
     return sqls

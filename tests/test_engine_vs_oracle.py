@@ -77,3 +77,21 @@ def test_validation():
         d.search("x", limit=0, page=1)
     with pytest.raises(ValueError):
         d.search("x", limit=5, page=0)
+
+
+def test_wand_generalized_matches_exact(spark, tiny_index, synonyms):
+    """Round-3: WAND pruning with multi-term AND branches, synonyms
+    and lang filters — previously these fell back to full decode."""
+    eng = SearchEngine(spark, tiny_index, synonyms=synonyms)
+    cases = [
+        ("the w000001", None),
+        ("w000000 w000002", None),
+        ("the", "ja"),
+        ("alias0 the", "en"),
+    ]
+    for q, lf in cases:
+        exact = eng.search(q, lang_filter=lf, limit=10, page=1)
+        wand = eng.search(q, lang_filter=lf, limit=10, page=1, topk_only=True)
+        assert [d for d, _ in wand["results"]] == [d for d, _ in exact["results"]], (q, lf)
+        for (gd, gs), (ed, es) in zip(wand["results"], exact["results"]):
+            assert abs(gs - es) < 1e-9

@@ -223,3 +223,57 @@ class TestDedupAnn:
         # the 5 planted near neighbors must be found by both
         assert set(exact) == {1, 2, 3, 4, 5}
         assert len(set(approx) & {1, 2, 3, 4, 5}) >= 4
+
+
+def test_ivf_trained_recall_and_pruning(spark, tmp_path):
+    """Trained IVF (deterministic distributed k-means): decent
+    recall@10 vs brute force, persisted index partition-prunes."""
+    import numpy as np
+
+    from micce_search_engine_spark.operators.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    # clustered data so IVF has structure to find
+    centers = rng.standard_normal((6, 16)) * 3
+    rows = []
+    for i in range(360):
+        v = centers[i % 6] + rng.standard_normal(16) * 0.4
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(df, dim=16, k=6, iters=4)
+    # training converged to distinct centroids
+    assert len({tuple(round(x, 6) for x in c) for c in cents}) == 6
+    out = str(tmp_path / "ivfidx")
+    q = rows[10][1]
+    build_ivf_index(df.filter(F.col("vec_id") != 10), out, cents)
+    approx = [r["vec_id"] for r in ivf_topk_indexed(spark, out, q, k=10, n_probes=2).collect()]
+    exact = [
+        r["vec_id"]
+        for r in brute_force_topk(df.filter(F.col("vec_id") != 10), q, k=10).collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10.0
+    assert recall >= 0.8, (recall, approx, exact)
+    plan = (
+        ivf_topk_indexed(spark, out, q, k=10, n_probes=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ivf_list" in plan
+
+
+def test_train_ivf_deterministic_across_parallelism(spark):
+    """Fixed-point centroid sums: same centroids at any partitioning."""
+    import numpy as np
+
+    from micce_search_engine_spark.operators.ann import train_ivf_centroids
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = train_ivf_centroids(df.repartition(1), dim=8, k=4, iters=3)
+    b = train_ivf_centroids(df.repartition(7), dim=8, k=4, iters=3)
+    assert a == b

@@ -12,7 +12,10 @@ from micce_search_engine_spark.corpus import gen_pages, pages_spark_schema
 from micce_search_engine_spark.operators.index_build import build_index
 from micce_search_engine_spark.operators.query import SearchEngine
 from micce_search_engine_spark.oracle import BruteForceBM25
-from micce_search_engine_spark.streaming.live_index import run_live_index_once
+from micce_search_engine_spark.streaming.live_index import (
+    init_pages_store,
+    run_live_index_once,
+)
 
 
 def test_live_index_stream(spark, tmp_path):
@@ -20,9 +23,12 @@ def test_live_index_stream(spark, tmp_path):
     pdf = gen_pages(120, seed=31)
     pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
     pages_path = os.path.join(base, "pages")
-    pages.write.parquet(pages_path)
+    init_pages_store(spark, pages, pages_path, n_buckets=8)
     idx = os.path.join(base, "idx")
-    build_index(spark, pages, idx, n_buckets=4, max_postings_per_row=10**9)
+    build_index(
+        spark, pages, idx, n_buckets=4, max_postings_per_row=10**9,
+        docs_per_bucket=50,
+    )
 
     updates_dir = os.path.join(base, "updates")
     os.makedirs(updates_dir)

@@ -106,3 +106,82 @@ def test_unaffected_buckets_untouched(spark, tmp_path):
     for b in before:
         if b not in touched:
             assert after[b] == before[b], f"{b} was rewritten needlessly"
+
+
+def test_odelta_partition_scoped_writes(spark, tmp_path):
+    """v3 O(delta) contract (round-3): an upsert touching docs in ONE
+    dbucket must not rewrite terms/docs partition files of any other
+    dbucket, and url_map stays untouched when no url is new."""
+    idx = str(tmp_path / "idx3")
+    pdf = gen_pages(400, seed=23)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    build_index(
+        spark, pages, idx, n_buckets=8, max_postings_per_row=10**9,
+        docs_per_bucket=100,
+    )
+
+    def snap(table):
+        root = os.path.join(idx, table)
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if f.startswith("_") or f.startswith("."):
+                    continue
+                fp = os.path.join(dirpath, f)
+                out[fp] = os.path.getmtime(fp)
+        return out
+
+    t_before, d_before, u_before = snap("terms"), snap("docs"), snap("url_map")
+    docs_tbl = spark.read.parquet(os.path.join(idx, "docs"))
+    urls = [
+        r["url"]
+        for r in docs_tbl.filter(F.col("doc_id") < 100).limit(3).collect()
+    ]
+    updates = spark.createDataFrame(
+        [(u, f"patched uniquetermz{i:04d}", "en") for i, u in enumerate(urls)],
+        "url string, text string, lang string",
+    )
+    apply_upsert(spark, idx, pages, updates)
+    t_after, d_after, u_after = snap("terms"), snap("docs"), snap("url_map")
+
+    def untouched(before, after, skip_part):
+        for fp, mt in before.items():
+            if skip_part in fp:
+                continue
+            assert fp in after and after[fp] == mt, f"{fp} rewritten needlessly"
+
+    untouched(t_before, t_after, "dbucket=0/")
+    untouched(d_before, d_after, "dbucket=0/")
+    # the touched bucket WAS rewritten
+    assert {f for f in t_after if "dbucket=0/" in f} != {
+        f for f in t_before if "dbucket=0/" in f
+    }
+    # no new urls -> url_map untouched entirely
+    assert u_after == u_before
+
+
+def test_engine_cache_invalidated_after_upsert(spark, tmp_path):
+    """An engine opened BEFORE an upsert persists term_stats; Spark's
+    CacheManager matches cached plans by path, so without explicit
+    refreshByPath a NEW engine after the upsert would silently read
+    the stale cache (df=0 for fresh terms -> wrong idf)."""
+    idx = str(tmp_path / "idx4")
+    pdf = gen_pages(120, seed=29)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    build_index(spark, pages, idx, n_buckets=4, max_postings_per_row=10**9)
+    eng_before = SearchEngine(spark, idx)  # persists term_stats
+    assert eng_before.search("zzfreshterm", limit=5, page=1)["total_hits"] == 0
+    updates = spark.createDataFrame(
+        [(pdf.url[0], "zzfreshterm zzfreshterm appears", "en")],
+        "url string, text string, lang string",
+    )
+    apply_upsert(spark, idx, pages, updates)
+    eng_after = SearchEngine(spark, idx)
+    res = eng_after.search("zzfreshterm", limit=5, page=1)
+    assert res["total_hits"] == 1
+    # score must reflect df=1, not a stale df=0 (idf would be inflated)
+    import math
+
+    n = eng_after.N
+    idf = math.log((n - 1 + 0.5) / 1.5 + 1.0)
+    assert res["results"][0][1] < idf * 2.2 + 1e-9

@@ -142,6 +142,9 @@ def _min_merge(runs: list[dict]) -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # optional tag (e.g. "_n1M"): write scaling_c{N}{tag}.json and SKIP
+    # rewriting BASELINE.md — used for the 1M-doc scale proof-point
+    tag = sys.argv[3] if len(sys.argv) > 3 else ""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     _ensure_control_corpus()
     raw: dict[int, list[dict]] = {N_SMALL: [], N_BIG: []}
@@ -155,8 +158,24 @@ def main() -> None:
             print(f"local[{cpus}]: {json.dumps(r)}", flush=True)
     results = {c: _min_merge(rs) for c, rs in raw.items()}
     for cpus, r in results.items():
-        with open(os.path.join(REPO, "BENCH", f"scaling_c{cpus}.json"), "w") as f:
+        with open(os.path.join(REPO, "BENCH", f"scaling_c{cpus}{tag}.json"), "w") as f:
             json.dump({"best": r, "runs": raw[cpus]}, f, indent=2)
+    if tag:
+        r4, r16 = results[N_SMALL], results[N_BIG]
+        ctl = r4["control_tok_s"] / r16["control_tok_s"]
+        b = r4["queries"]["index_build"] / r16["queries"]["index_build"]
+        print(
+            json.dumps(
+                {
+                    "tag": tag,
+                    "n_docs": n_docs,
+                    "build_speedup": round(b, 3),
+                    "build_eff_norm": round(b / ctl, 3),
+                    "control_speedup": round(ctl, 3),
+                }
+            )
+        )
+        return
 
     r4, r16 = results[N_SMALL], results[N_BIG]
 
@@ -213,6 +232,13 @@ Raw JSON: BENCH/scaling_c{N_SMALL}.json, BENCH/scaling_c{N_BIG}.json
 * Both runs build the full index (tokenize -> stats -> salted
   segments), then run the 100-query batched BM25 evaluation and 5
   single-query latencies, then pipeline ops (MinHash-LSH dedup, ANN).
+* Round-3 changes vs round 2: S1 tokenize is Arrow-native (RE2
+  split + dictionary-encode + np.unique; no per-doc Python
+  findall/Counter — round 2's build-scaling bottleneck), WAND block
+  selection is relational (no driver-side block collects) and wired
+  into the batch path, upserts are O(delta) on the v3 bucketed
+  layout, single queries run ONE fused count+top-k job with a
+  driver-side term-df cache.
 * Round-2 changes vs round 1: fixed-point int64 scoring (plain sums,
   no collect_set/sort_array arrays), per-posting lang attribute (no
   docs join at query time), explicit tokenize repartition (AQE
