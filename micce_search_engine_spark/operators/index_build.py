@@ -343,16 +343,27 @@ def build_index(
             )
             dbucket = F.floor(F.col("doc_id") / F.lit(docs_per_bucket)).cast("long")
             # one Python pass: tokenize + per-doc term counts.
-            # RANGE repartition (not round-robin): each task holds a
-            # contiguous doc_id range, so the dynamic partitionBy
-            # write lands in ~1-2 dbucket dirs per task instead of
-            # fanning every task out to every bucket; the range
-            # sampling pass doubles as the with_ids cache
-            # materialization (no extra input read overall)
+            # Partitioning strategy for the dbucket-partitioned write:
+            #   few buckets (tests/bench; fan-out <= 8 dirs/task is
+            #   free — measured +0s) -> round-robin, zero extra cost,
+            #   AQE-exempt (round-2 lesson: AQE size-coalescing
+            #   starves the CPU-bound tokenize);
+            #   many buckets (the 100 TB shape) -> repartitionByRange
+            #   on doc_id so each task spans ~1-2 contiguous dbuckets
+            #   instead of fanning out to millions of dirs; the range
+            #   sampling pass costs ~one extra cached-input scan
+            #   (measured ~6s at 100k docs — noise at cluster scale,
+            #   so it is NOT paid on the small-bucket path).
+            # est from a zero-column footer count; only the strategy
+            # CHOICE depends on it, never correctness.
+            est_buckets = pages.count() // docs_per_bucket + 1
+            sel = with_ids.select("doc_id", "text", "lang_id")
+            if est_buckets <= 8:
+                sel = sel.repartition(n_tok)
+            else:
+                sel = sel.repartitionByRange(n_tok, "doc_id")
             (
-                with_ids.select("doc_id", "text", "lang_id")
-                .repartitionByRange(n_tok, "doc_id")
-                .mapInArrow(_tokenize_count, TERMS_SCHEMA)
+                sel.mapInArrow(_tokenize_count, TERMS_SCHEMA)
                 .withColumn("dbucket", dbucket)
                 .write.mode("overwrite")
                 .partitionBy("dbucket")
@@ -362,12 +373,15 @@ def build_index(
             doc_len = terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
             doc_cols = ["doc_id", "url", "lang"] + (["warc_ts"] if has_ts else [])
             n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            # sub-split keeps the write parallel when few dbuckets
+            # exist (bench: 1 bucket would otherwise serialize on one
+            # task) while bounding files-per-dir to the sub count
             (
                 with_ids.select(*doc_cols)
                 .join(doc_len, "doc_id", "left")
                 .withColumn("dl", F.coalesce("dl", F.lit(0)))
                 .withColumn("dbucket", dbucket)
-                .repartition(n_shuf, "dbucket")
+                .repartition(n_shuf, "dbucket", F.pmod(F.col("doc_id"), F.lit(16)))
                 .write.mode("overwrite")
                 .partitionBy("dbucket", "lang")
                 .parquet(p.docs + ".__tmp__")

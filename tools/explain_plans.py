@@ -118,6 +118,43 @@ def main() -> None:
         )
     )
 
+    # WAND: surviving-block selection joined into the segment scan
+    sel = eng._wand_block_selection(
+        ["the", "w000001"], idf, k=10, branches=[["the"], ["w000001"]]
+    )
+    if sel is not None:
+        wand = eng._postings(["the", "w000001"], block_join=sel, mode="score")
+        sections.append(
+            (
+                "WAND surviving-block decode (relational selection)",
+                "Look for: the (term, salt, allowed) selection joined into the "
+                "bucket-pruned segment scan (no driver-side block lists; the "
+                "join side is an aggregate Spark can broadcast at runtime); "
+                "decode restricted by the allowed column.",
+                explain(wand),
+            )
+        )
+
+    # IVF: trained centroids, persisted list-partitioned index
+    from micce_search_engine_spark.operators.ann import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, dim=16, k=4, iters=2)
+    ivf_dir = "/tmp/mse_plans_ivf"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    build_ivf_index(emb, ivf_dir, cents)
+    sections.append(
+        (
+            "Persisted IVF probe scan (trained centroids)",
+            "Look for: PartitionFilters [ivf_list IN (...)] — only probe "
+            "lists read; TakeOrderedAndProject for top-k.",
+            explain(ivf_topk_indexed(spark, ivf_dir, q, n_probes=2)),
+        )
+    )
+
     out = ["# Physical plans (evidence of scale-shape)\n"]
     out.append(
         f"Generated by tools/explain_plans.py over a {n:,}-doc index; "
