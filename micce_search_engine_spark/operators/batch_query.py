@@ -184,17 +184,14 @@ def _batch_wand_selection(engine: SearchEngine, queries: list[dict], compiled):
     qmeta, qweights, all_terms, K = compiled
     idf = engine.idf_map(all_terms)
     blocks = engine._wand_blocks(all_terms, idf)
-    term_ub = {
-        r["term"]: r["ub"]
-        for r in blocks.groupBy("term").agg(F.max("bound").alias("ub")).collect()
-    }
+    term_ub, best_sel = engine._term_ub_and_best(blocks)
     if not term_ub:
-        return spark.createDataFrame([], "term string, salt int, allowed array<int>")
+        return best_sel  # empty: no segments
     probe_cand, _ = _candidates(
         engine,
         queries,
         with_score=True,
-        block_join=engine._best_block_selection(blocks),
+        block_join=best_sel,
         compiled=compiled,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
