@@ -90,6 +90,18 @@ def main() -> None:
     corpus_path = ensure_corpus(spark, n_docs)
     pages = spark.read.parquet(corpus_path)
 
+    # JVM/JIT warmup: an untimed 5k-doc build first. A fresh JVM's
+    # first pipeline pays 40-60 s of whole-stage-codegen compilation +
+    # JIT + Python worker spin-up — a constant that swamps the timed
+    # metric at bench scale and would never appear in a long-lived
+    # cluster; measured steady-state build is what scales.
+    warm_dir = f"{WORKDIR}/mse_bench_index/warmup_c{cpus}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(
+        spark, pages.limit(5000), warm_dir, n_buckets=8, max_postings_per_row=200_000
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     index_dir = f"{WORKDIR}/mse_bench_index/c{cpus}_n{n_docs}"
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.monotonic()

@@ -19,6 +19,15 @@ whole query *set* into a single relational plan (SURVEY.md §2D):
        the reference's limit*page / offset=limit*(page-1) quirk
        (/root/reference/search-api/internal/repository/query/queryBuilder.go:40-41,
         /root/reference/search-api/internal/presentation/model/response.go:40-42)
+
+``search_batch_topk`` is the WAND-pruned variant (round-3): one probe
+pass over every term's best block yields per-query k-th-best lower
+bounds, per-term decode thresholds take the weakest constraint across
+queries, and the final pass decodes only surviving blocks — the batch
+analog of Vespa's weakAnd, exact for the returned page windows (no
+totals, like weakAnd's estimated totalCount). Faster than the exact
+batch once decode volume dominates (measured at 500k docs); the exact
+path remains for totals.
 """
 
 from __future__ import annotations

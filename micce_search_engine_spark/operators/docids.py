@@ -19,13 +19,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def url_id_map(pages: DataFrame, num_partitions: int | None = None) -> tuple[DataFrame, int]:
+    """(url -> doc_id) map + total row count, without joining it back.
+
+    Rank ONLY the key column: the range shuffle and sampling pass touch
+    a single pruned string column, never the payload. The count comes
+    free from the per-partition size pass."""
     spark = pages.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    # Rank ONLY the key column: the range shuffle and sampling pass then
-    # touch a single pruned string column, never the html payload; the
-    # final equi-join moves full rows exactly once (and goes broadcast
-    # when the id map is small enough).
     parts = (
         pages.select("url")
         .repartitionByRange(n, "url")
@@ -53,4 +54,17 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataF
         .withColumn("doc_id", F.col("_offset") + F.row_number().over(w) - F.lit(1))
         .select("url", "doc_id")
     )
+    return ids, acc
+
+
+#: id maps up to this many rows are broadcast to every consumer instead
+#: of shuffle-joined (~70 B/row -> <=140 MB broadcast)
+BROADCAST_IDS_MAX = 2_000_000
+
+
+def assign_doc_ids(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    ids, total = url_id_map(pages, num_partitions)
+    if total <= BROADCAST_IDS_MAX:
+        # map-side join: no shuffle of the payload columns at all
+        return pages.join(F.broadcast(ids), "url")
     return pages.join(ids, "url")

@@ -315,8 +315,26 @@ def build_index(
         )
         lang_to_id = {l: i for i, l in enumerate(langs)}
         with st:
+            from micce_search_engine_spark.operators.docids import (
+                BROADCAST_IDS_MAX,
+                url_id_map,
+            )
+
+            ids = None
+            n_rows_known = None
             if doc_id_col is None:
-                with_ids = assign_doc_ids(pages)
+                ids, n_rows_known = url_id_map(pages)
+                if n_rows_known <= BROADCAST_IDS_MAX:
+                    # broadcast id map: every consumer below does a
+                    # MAP-SIDE join against its own column-pruned scan
+                    # of the input — no payload shuffle for the join,
+                    # no cache materialization pass (measured ~10-15 s
+                    # of the 500k-doc c16 build); beyond the bound the
+                    # classic shuffle join + persist path applies
+                    with_ids = pages.join(F.broadcast(ids.persist()), "url")
+                else:
+                    with_ids = pages.join(ids, "url")
+                    ids = None  # shuffle-join path: recompute too costly
             else:
                 with_ids = pages.withColumn("doc_id", F.col(doc_id_col).cast("long"))
             lang_map = F.create_map(
@@ -324,8 +342,10 @@ def build_index(
             )
             with_ids = with_ids.withColumn(
                 "lang_id", lang_map[F.coalesce(F.col("lang"), F.lit(""))].cast("long")
-            ).persist()
-            # no eager count: the terms write below materializes the
+            )
+            if ids is None and doc_id_col is None:
+                with_ids = with_ids.persist()
+            # no eager count: the terms write below materializes any
             # cache in the same pass (an explicit count() added one
             # full extra read of the input per build); rows_in is
             # recovered from the docs table's parquet footers
@@ -354,9 +374,11 @@ def build_index(
             #   sampling pass costs ~one extra cached-input scan
             #   (measured ~6s at 100k docs — noise at cluster scale,
             #   so it is NOT paid on the small-bucket path).
-            # est from a zero-column footer count; only the strategy
-            # CHOICE depends on it, never correctness.
-            est_buckets = pages.count() // docs_per_bucket + 1
+            # est from the id-map size (already counted) or a
+            # zero-column footer count; only the strategy CHOICE
+            # depends on it, never correctness.
+            n_est = n_rows_known if n_rows_known is not None else pages.count()
+            est_buckets = n_est // docs_per_bucket + 1
             sel = with_ids.select("doc_id", "text", "lang_id")
             if est_buckets <= 8:
                 sel = sel.repartition(n_tok)
@@ -386,9 +408,11 @@ def build_index(
                 .partitionBy("dbucket", "lang")
                 .parquet(p.docs + ".__tmp__")
             )
+            # url_map comes straight from the id map when available
+            # (no pages scan at all)
+            um_src = ids if ids is not None else with_ids.select("url", "doc_id")
             (
-                with_ids.select("url", "doc_id")
-                .withColumn(
+                um_src.withColumn(
                     "ubucket",
                     (F.crc32(F.encode(F.col("url"), "UTF-8")) % url_buckets).cast("int"),
                 )
@@ -397,7 +421,10 @@ def build_index(
                 .partitionBy("ubucket")
                 .parquet(p.url_map + ".__tmp__")
             )
-            with_ids.unpersist()
+            if ids is not None:
+                ids.unpersist()
+            elif doc_id_col is None:
+                with_ids.unpersist()
     else:
         # resume: reconstruct the identical dictionary from the docs
         # table (same sorted-distinct rule over the same rows)
