@@ -296,6 +296,9 @@ def _q_bm25_wand_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND path for a single-term query; oracle is plain BM25
     top-10 — proves pruning loses nothing."""
     eng = _engine(spark, sf_dir)
+    # force probe engagement: at sf0.01 the round-4 adaptive floor would
+    # skip pruning, and this entry certifies the pruning path itself
+    eng.wand_engage_factor = 0
     res = eng.search("spark", limit=10, page=1, topk_only=True)
     rows = [(int(d), round(float(s), 6)) for d, s in res["results"]]
     return spark.createDataFrame(rows, "doc_id long, score_r double")
@@ -306,6 +309,7 @@ def _q_bm25_wand_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pruning; oracle is exact BM25 over docs containing BOTH terms —
     proves the round-3 generalization loses nothing."""
     eng = _engine(spark, sf_dir)
+    eng.wand_engage_factor = 0  # certify the pruning path (see wand_single)
     res = eng.search("spark join", limit=10, page=1, topk_only=True)
     rows = [(int(d), round(float(s), 6)) for d, s in res["results"]]
     return spark.createDataFrame(rows, "doc_id long, score_r double")

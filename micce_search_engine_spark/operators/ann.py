@@ -387,6 +387,24 @@ def build_ann_index(
     import json
     import os
 
+    # data-side overflow guard (ADVICE r3): _check_int_dot_bound covers
+    # dim and the query vector, but a stored embedding with |x| >
+    # MAX_ABS_COMPONENT would silently wrap in Spark's int64 projection
+    # while the DuckDB oracle errors. One cheap aggregate per BUILD
+    # (never per query) fails loudly instead.
+    mx = df.agg(
+        F.max(F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+        )).alias("mx")
+    ).collect()[0]["mx"]
+    if mx is not None and float(mx) > MAX_ABS_COMPONENT:
+        raise ValueError(
+            f"build_ann_index: embedding component |x|={mx} exceeds the "
+            f"|x| <= {MAX_ABS_COMPONENT} bound the int64 LSH projection "
+            "assumes; normalize the vectors or lower VEC_QUANT"
+        )
     b = hyperplane_buckets(df, dim, n_planes, seed, vec_col)
     (
         b.select(F.col(id_col), F.col(vec_col), "bucket")

@@ -312,6 +312,55 @@ def _local_topk_fn(maxk: int):
     return local_topk
 
 
+_FUSED_SCHEMA = "query_id long, doc_id long, score double, n long, is_marker boolean"
+
+
+def _local_topk_count_fn(maxk: int):
+    """Fused per-partition top-maxk AND per-query row count in ONE pass:
+    each partition emits its bounded running top-maxk per query plus one
+    marker row per query carrying the partition's candidate count
+    (``is_marker`` is an explicit column — no doc_id sentinel, so
+    caller-supplied negative doc ids can't be absorbed into totals).
+    Output is <= n_partitions * n_queries * (maxk + 1) rows."""
+
+    def fn(it):
+        import pandas as _pd
+
+        running = None
+        counts: dict = {}
+        for pdf in it:
+            for qid, c in pdf["query_id"].value_counts().items():
+                counts[qid] = counts.get(int(qid), 0) + int(c)
+            pool = pdf if running is None else _pd.concat([running, pdf])
+            running = (
+                pool.sort_values(
+                    ["query_id", "score", "doc_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(maxk)
+            )
+        out = []
+        if running is not None and len(running):
+            out.append(running.assign(n=0, is_marker=False))
+        if counts:
+            out.append(
+                _pd.DataFrame(
+                    {
+                        "query_id": list(counts.keys()),
+                        "doc_id": -1,
+                        "score": 0.0,
+                        "n": list(counts.values()),
+                        "is_marker": True,
+                    }
+                )
+            )
+        if out:
+            yield _pd.concat(out)
+
+    return fn
+
+
 def search_batch(
     engine: SearchEngine,
     queries: list[dict],
@@ -330,41 +379,36 @@ def search_batch(
 
     # Distributed per-query top-k WITHOUT a global sort: every partition
     # keeps a bounded running top-maxk per query (linear scan, memory
-    # <= n_queries*maxk rows), then one tiny window finalizes. totals
-    # are a plain hash aggregate. This is the per-group analog of
-    # Spark's TakeOrderedAndProject.
+    # <= n_queries*maxk rows) AND counts its candidate rows per query in
+    # the SAME pass (round-4: round 3 scanned the persisted candidate
+    # set twice — totals aggregate + top-k — and eagerly checkpointed
+    # the FULL joined output, which regressed batch100 1.2x; now the
+    # candidate set is scanned exactly once and only the tiny fused
+    # frame, <= n_parts * n_queries * (maxk+1) rows, is materialized).
     maxk = max(int(q["limit"]) * int(q["page"]) for q in queries)
-    cand = cand.persist()
-    try:
-        totals = cand.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("total_hits")
+    fused = cand.mapInPandas(_local_topk_count_fn(maxk), _FUSED_SCHEMA)
+    fused = fused.localCheckpoint(eager=True)
+    totals = fused.filter(F.col("is_marker")).groupBy("query_id").agg(
+        F.sum("n").alias("total_hits")
+    )
+    pruned = fused.filter(~F.col("is_marker")).select("query_id", "doc_id", "score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(qmeta.select("query_id", "limit", "page")), "query_id")
+        .filter(
+            (F.col("rn") > F.col("limit") * (F.col("page") - 1))
+            & (F.col("rn") <= F.col("limit") * F.col("page"))
         )
-
-        pruned = cand.mapInPandas(
-            _local_topk_fn(maxk), "query_id long, doc_id long, score double"
+        .join(F.broadcast(totals), "query_id")
+        .withColumn(
+            "rank", (F.col("rn") - F.col("limit") * (F.col("page") - 1)).cast("int")
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        out = (
-            pruned.withColumn("rn", F.row_number().over(w))
-            .join(F.broadcast(qmeta.select("query_id", "limit", "page")), "query_id")
-            .filter(
-                (F.col("rn") > F.col("limit") * (F.col("page") - 1))
-                & (F.col("rn") <= F.col("limit") * F.col("page"))
-            )
-            .join(F.broadcast(totals), "query_id")
-            .withColumn(
-                "rank", (F.col("rn") - F.col("limit") * (F.col("page") - 1)).cast("int")
-            )
-            .withColumn(
-                "last_page", F.col("total_hits") - F.col("limit") * F.col("page") <= 0
-            )
-            .select("query_id", "doc_id", "score", "rank", "total_hits", "last_page")
+        .withColumn(
+            "last_page", F.col("total_hits") - F.col("limit") * F.col("page") <= 0
         )
-        # materialize while cand is cached (one pass for totals+topk)
-        out = out.localCheckpoint(eager=True)
-    finally:
-        cand.unpersist()
-    return out
+        .select("query_id", "doc_id", "score", "rank", "total_hits", "last_page")
+    )
 
 
 def totals_batch(engine: SearchEngine, queries: list[dict]) -> DataFrame:

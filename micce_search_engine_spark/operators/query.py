@@ -52,7 +52,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from micce_search_engine_spark import BM25_B, BM25_K1
+from micce_search_engine_spark import BLOCK_SIZE, BM25_B, BM25_K1
 from micce_search_engine_spark.functions.codec import bm25_wf, decode_postings
 from micce_search_engine_spark.operators.index_build import IndexPaths, bucket_of
 from micce_search_engine_spark.oracle import expand_branches
@@ -241,8 +241,10 @@ def _decode_map(
 def _topk_and_count(cand: DataFrame, k: int) -> tuple[int, list]:
     """Fused total-count + top-k over (doc_id, score) in ONE job: each
     partition emits its bounded local top-k plus one count-marker row
-    (doc_id = -1, score = partition row count; real doc_ids are >= 0),
-    and the driver merges <= n_partitions * (k+1) tiny rows. Replaces
+    (``is_marker`` is an explicit column — round-3 used doc_id = -1 as
+    the sentinel, which would absorb real hits of a corpus built with
+    caller-supplied negative doc ids into the total, ADVICE r3), and
+    the driver merges <= n_partitions * (k+1) tiny rows. Replaces
     round 2's count() + orderBy().limit() double pass over a persisted
     candidate set."""
 
@@ -257,13 +259,20 @@ def _topk_and_count(cand: DataFrame, k: int) -> tuple[int, list]:
             best = pool.sort_values(
                 ["score", "doc_id"], ascending=[False, True]
             ).head(k)
-        marker = pd_.DataFrame({"doc_id": [-1], "score": [float(cnt)]})
-        yield marker if best is None else pd_.concat([best, marker])
+        marker = pd_.DataFrame(
+            {"doc_id": [-1], "score": [0.0], "n": [cnt], "is_marker": [True]}
+        )
+        if best is None:
+            yield marker
+        else:
+            yield pd_.concat([best.assign(n=0, is_marker=False), marker])
 
-    rows = cand.mapInPandas(part, "doc_id long, score double").collect()
-    total = int(sum(r["score"] for r in rows if r["doc_id"] == -1))
+    rows = cand.mapInPandas(
+        part, "doc_id long, score double, n long, is_marker boolean"
+    ).collect()
+    total = int(sum(r["n"] for r in rows if r["is_marker"]))
     top = sorted(
-        (r for r in rows if r["doc_id"] != -1),
+        (r for r in rows if not r["is_marker"]),
         key=lambda r: (-r["score"], r["doc_id"]),
     )
     return total, top[:k]
@@ -352,6 +361,13 @@ class SearchEngine:
         self.wand_derate = max(
             1.0, self.avgdl / float(self.meta.get("min_avgdl_encoded", self.avgdl))
         )
+        #: WAND probe engagement floor, in units of k * BLOCK_SIZE
+        #: postings. The probe's ~3 fixed Spark jobs cost ~2 s locally;
+        #: they pay off only when decode volume dominates — measured
+        #: crossover at ~0.5-1M postings (BENCH/scaling_c*_n1M.json: at
+        #: 1M docs WAND beats exact, at 100k it loses). 400 * k=10 *
+        #: 128 = 512k postings. Tunable per deployment.
+        self.wand_engage_factor = 400
 
     # -- pieces -------------------------------------------------------
 
@@ -380,11 +396,15 @@ class SearchEngine:
             found = {r["term"]: int(r["df"]) for r in rows}
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
-            while len(self._df_cache) > self._DF_CACHE_MAX:
-                self._df_cache.popitem(last=False)
-        df = {t: self._df_cache[t] for t in terms}
+        # touch this call's terms BEFORE evicting (ADVICE r3: evicting
+        # first could pop a term this very call needs — an old-position
+        # hit or an early-inserted miss — and KeyError below); capture
+        # the values before eviction too, so even terms > MAX is safe
         for t in terms:  # LRU touch
             self._df_cache.move_to_end(t)
+        df = {t: self._df_cache[t] for t in terms}
+        while len(self._df_cache) > self._DF_CACHE_MAX:
+            self._df_cache.popitem(last=False)
         return {
             t: math.log((self.N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
             for t in terms
@@ -585,11 +605,26 @@ class SearchEngine:
 
         block_sel = None
         if topk_only:
-            # generalized block-max WAND: any branch structure, any
-            # lang filter (round-2 restriction lifted)
-            block_sel = self._wand_block_selection(
-                all_terms, idf, k, branches, lang_id=lid
-            )
+            # ADAPTIVE engagement (round-4, VERDICT r3 #3): the probe
+            # machinery costs ~3 extra Spark jobs (block-metadata agg,
+            # probe decode + top-k, threshold build) that only pay off
+            # once the decode volume it prunes dominates — proven past
+            # ~the 1M-doc crossover for batches, and plainly NOT at
+            # 100k docs where full decode of a stopword is ~1 s. Skip
+            # the probe when the candidate decode volume (sum of the
+            # query terms' dfs — already cached driver-side by
+            # idf_map, zero extra jobs) is below
+            # ``wand_engage_factor * k * BLOCK_SIZE`` postings; the
+            # exact path then runs, which returns the identical top-k
+            # (pruning is lossless, so engagement is purely a
+            # performance choice).
+            sum_df = sum(self._df_cache.get(t, 0) for t in all_terms)
+            if sum_df >= self.wand_engage_factor * k * BLOCK_SIZE:
+                # generalized block-max WAND: any branch structure, any
+                # lang filter (round-2 restriction lifted)
+                block_sel = self._wand_block_selection(
+                    all_terms, idf, k, branches, lang_id=lid
+                )
 
         cand = self._scored(
             self._postings(all_terms, block_sel, mode="score", lang_id=lid),

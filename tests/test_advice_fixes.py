@@ -90,3 +90,78 @@ def test_manifest_latest_status_not_lexicographic(spark, tmp_path):
         .collect()
     )
     assert latest[0]["final_status"] == COMPLETED
+
+
+# ---------------------------------------------------------------------------
+# round-3 ADVICE / VERDICT regressions (round-4 fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_hot_shingle_bounded(spark):
+    """VERDICT r3 wrong #1: a shingle shared by d docs must NOT drive an
+    O(d^2) verify join. 2,000 unrelated docs share one boilerplate
+    3-gram; two real near-dups exist. The verify stage must (a) return
+    exactly the true pair and (b) restrict the shingle self-join to
+    candidate docs BEFORE joining (structural check: the optimized plan
+    semi-joins sh->cand_docs in addition to the pair-level semi)."""
+    base = "common boiler plate"
+    rows = [(i, f"{base} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(2000)]
+    # two genuine near-dups (identical text -> jaccard 1.0)
+    rows.append((9001, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((9002, "alpha beta gamma delta epsilon zeta eta theta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(df, threshold=0.9)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 2, plan
+    got = [(r["doc_a"], r["doc_b"], round(r["jaccard"], 6)) for r in out.collect()]
+    assert got == [(9001, 9002, 1.0)]
+
+
+def test_idf_lru_eviction_keeps_current_call_terms(spark, tiny_index, synonyms):
+    """ADVICE r3: evicting before touching could KeyError on a term the
+    same call needs once the cache crosses _DF_CACHE_MAX."""
+    from micce_search_engine_spark.operators.query import SearchEngine
+
+    eng = SearchEngine(spark, tiny_index, synonyms=synonyms)
+    eng._DF_CACHE_MAX = 3  # force eviction pressure
+    eng.idf_map(["the", "of"])  # "the" sits at the LRU front
+    # one call whose misses push past MAX while "the" is an old-position
+    # hit — pre-fix this raised KeyError
+    out = eng.idf_map(["the", "w000001", "w000002", "w000003"])
+    assert set(out) == {"the", "w000001", "w000002", "w000003"}
+
+
+def test_adaptive_wand_skips_probe_at_small_scale(spark, tiny_index, synonyms):
+    """Round-4: below the engagement floor topk_only must return the
+    exact top-k WITHOUT the probe's extra jobs (selection is None)."""
+    from micce_search_engine_spark.operators.query import SearchEngine
+
+    eng = SearchEngine(spark, tiny_index, synonyms=synonyms)
+    calls = []
+    orig = eng._wand_block_selection
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    eng._wand_block_selection = spy
+    exact = eng.search("the", limit=10, page=1)
+    skipped = eng.search("the", limit=10, page=1, topk_only=True)
+    assert not calls  # probe never engaged below the floor
+    assert [d for d, _ in skipped["results"]] == [d for d, _ in exact["results"]]
+    eng.wand_engage_factor = 0
+    eng.search("the", limit=10, page=1, topk_only=True)
+    assert calls  # floor at 0 -> probe engages
+
+
+def test_topk_count_marker_survives_negative_doc_ids(spark):
+    """ADVICE r3: doc_id == -1 was the count-marker sentinel; a corpus
+    with caller-supplied negative ids must not lose hits to it."""
+    from micce_search_engine_spark.operators.query import _topk_and_count
+
+    cand = spark.createDataFrame(
+        [(-1, 5.0), (-2, 4.0), (3, 3.0)], "doc_id long, score double"
+    )
+    total, top = _topk_and_count(cand, 10)
+    assert total == 3
+    assert [(r["doc_id"], r["score"]) for r in top] == [(-1, 5.0), (-2, 4.0), (3, 3.0)]

@@ -56,6 +56,9 @@ def test_fixture_query_set_sample(spark, tiny_index, oracle, synonyms, queries_p
 
 def test_wand_topk_matches_exact(spark, tiny_index, synonyms):
     eng = SearchEngine(spark, tiny_index, synonyms=synonyms)
+    # force probe engagement: at test scale the adaptive floor would
+    # skip pruning (round-4), and this test is ABOUT the pruning path
+    eng.wand_engage_factor = 0
     for q in ["the", "w000000", "alias0", "a"]:
         exact = eng.search(q, limit=10, page=1)
         wand = eng.search(q, limit=10, page=1, topk_only=True)
@@ -83,6 +86,7 @@ def test_wand_generalized_matches_exact(spark, tiny_index, synonyms):
     """Round-3: WAND pruning with multi-term AND branches, synonyms
     and lang filters — previously these fell back to full decode."""
     eng = SearchEngine(spark, tiny_index, synonyms=synonyms)
+    eng.wand_engage_factor = 0  # force probe engagement at test scale
     cases = [
         ("the w000001", None),
         ("w000000 w000002", None),

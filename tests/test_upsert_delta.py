@@ -71,6 +71,7 @@ def test_post_delta_rank_identity(spark, delta_env):
 def test_wand_still_lossless_after_delta(spark, delta_env):
     idx, _ = delta_env
     eng = SearchEngine(spark, idx)
+    eng.wand_engage_factor = 0  # force probe engagement at test scale
     assert eng.wand_derate >= 1.0
     for q in ["the", "spark", "alpha"]:
         exact = eng.search(q, limit=10, page=1)
