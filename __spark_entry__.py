@@ -85,7 +85,7 @@ def _engine(spark: SparkSession, sf_dir: str):
     from micce_search_engine_spark.operators.query import SearchEngine
 
     tag = hashlib.sha1(key.encode()).hexdigest()[:10]
-    index_dir = os.path.join("/tmp", "mse_entry_idx_v3", tag)
+    index_dir = os.path.join("/tmp", "mse_entry_idx_v4", tag)
     build_index(
         spark,
         _docs_as_pages(spark, sf_dir),
@@ -93,6 +93,10 @@ def _engine(spark: SparkSession, sf_dir: str):
         n_buckets=8,
         max_postings_per_row=2000,
         doc_id_col="doc_id",
+        # round-4: positional index so bm25_phrase exercises the
+        # optional 5th stream; every other entry reads the same index
+        # (the extra stream is column-pruned away for them)
+        with_positions=True,
     )
     eng = SearchEngine(spark, index_dir, synonyms=SYNONYMS)
     _ENGINES[key] = eng
@@ -140,7 +144,7 @@ def _mf_engine(spark: SparkSession, sf_dir: str):
     from micce_search_engine_spark.operators.query import SearchEngine
 
     tag = hashlib.sha1(key.encode()).hexdigest()[:10]
-    base = os.path.join("/tmp", "mse_entry_idx_v3", tag + "_mf")
+    base = os.path.join("/tmp", "mse_entry_idx_v4", tag + "_mf")
     pages = _docs_as_pages(spark, sf_dir).withColumn("title", F.expr(_TITLE_SPARK))
     idxs = build_field_indexes(
         spark,
@@ -326,6 +330,21 @@ def _q_bm25_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", "rank", F.round("score", 6).alias("score_r")
     )
+
+
+PHRASE_T1, PHRASE_T2 = "table", "hash"  # 46 adjacent-pair docs at sf0.01
+
+
+def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 phrase matching (Vespa ``contains "multi word"`` =
+    phrase on index fields, whereQuery.go:43-57): exact token adjacency
+    via the positional posting stream, BM25 over the phrase's distinct
+    terms; oracle recomputes adjacency from token positions in SQL."""
+    eng = _engine(spark, sf_dir)
+    res = eng.search_phrase(f"{PHRASE_T1} {PHRASE_T2}", limit=10, page=1)
+    rows = [(int(d), round(float(s), 6)) for d, s in res["results"]]
+    df = spark.createDataFrame(rows, "doc_id long, score_r double")
+    return df.withColumn("total_hits", F.lit(int(res["total_hits"])))
 
 
 # deterministic Japanese-text corpus: 16 hex chars of md5(doc_id) mapped
@@ -1065,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_single": _q_bm25_wand_single,
         "bm25_wand_multi": _q_bm25_wand_multi,
         "bm25_wand_batch": _q_bm25_wand_batch,
+        "bm25_phrase": _q_bm25_phrase,
         "cjk_bigram_search": _q_cjk_bigram_search,
         "posting_roundtrip": _q_posting_roundtrip,
         "corpus_stats": _q_corpus_stats,
@@ -1360,6 +1380,45 @@ SELECT r.query_id, r.doc_id,
 FROM ranked r JOIN qmeta m USING (query_id)
 WHERE r.rn > m.lim * (m.pg - 1) AND r.rn <= m.lim * m.pg"""
     )
+    sqls["bm25_phrase"] = f"""
+WITH {_TOKS},
+toks_pos AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id) - 1 AS pos, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+tdf AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN ('{PHRASE_T1}', '{PHRASE_T2}') GROUP BY 1
+),
+phrase AS (
+  SELECT DISTINCT a.doc_id
+  FROM toks_pos a JOIN toks_pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE_T1}' AND b.term = '{PHRASE_T2}'
+),
+contrib AS (
+  SELECT f.doc_id,
+         floor(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (f.tf * {K1_P1!r}
+              / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl)))
+           * 1e9
+         )::BIGINT AS c_fx
+  FROM tf f JOIN dl l USING (doc_id) CROSS JOIN stats s JOIN tdf d ON d.term = f.term
+  WHERE f.term IN ('{PHRASE_T1}', '{PHRASE_T2}')
+),
+scored AS (
+  SELECT c.doc_id, sum(c.c_fx)::DOUBLE / 1e9 AS score
+  FROM contrib c JOIN phrase USING (doc_id) GROUP BY 1
+)
+SELECT doc_id, round(score, 6)::DOUBLE AS score_r,
+       (SELECT count(*) FROM phrase)::BIGINT AS total_hits
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
     sqls["cjk_bigram_search"] = _cjk_sql()
     sqls["posting_roundtrip"] = f"""
 WITH {_TOKS}

@@ -66,41 +66,25 @@ def ensure_corpus(spark, n: int) -> str:
     return path
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-    spark = get_spark(
-        "bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
-        # shuffle/spill on the bench workdir (tmpfs for scaling runs —
-        # this VM's buffered disk writes are throttled to ~30 MB/s,
-        # which would make every leg disk-bound; a real cluster's
-        # aggregate disk bandwidth scales with executors)
-        extra_conf={"spark.local.dir": os.path.join(WORKDIR, "spark-local")},
-    )
+def run_suite(spark, pages, sf_dir: str, cpus: int, n_docs: int) -> tuple[dict, dict]:
+    """One full pass of the headline suite -> (timings, row counts)."""
+    from pyspark.sql import functions as F
 
-    from micce_search_engine_spark.operators.batch_query import search_batch
+    from micce_search_engine_spark.operators.ann import (
+        brute_force_topk,
+        build_ann_index,
+        lsh_topk_indexed,
+    )
+    from micce_search_engine_spark.operators.batch_query import (
+        search_batch,
+        search_batch_topk,
+    )
+    from micce_search_engine_spark.operators.dedup import minhash_lsh_pairs
     from micce_search_engine_spark.operators.index_build import build_index
     from micce_search_engine_spark.operators.query import SearchEngine
 
     timings: dict[str, float] = {}
-
-    corpus_path = ensure_corpus(spark, n_docs)
-    pages = spark.read.parquet(corpus_path)
-
-    # JVM/JIT warmup: an untimed 5k-doc build first. A fresh JVM's
-    # first pipeline pays 40-60 s of whole-stage-codegen compilation +
-    # JIT + Python worker spin-up — a constant that swamps the timed
-    # metric at bench scale and would never appear in a long-lived
-    # cluster; measured steady-state build is what scales.
-    warm_dir = f"{WORKDIR}/mse_bench_index/warmup_c{cpus}"
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    build_index(
-        spark, pages.limit(5000), warm_dir, n_buckets=8, max_postings_per_row=200_000
-    )
-    shutil.rmtree(warm_dir, ignore_errors=True)
+    counts: dict[str, int] = {}
 
     index_dir = f"{WORKDIR}/mse_bench_index/c{cpus}_n{n_docs}"
     shutil.rmtree(index_dir, ignore_errors=True)
@@ -109,9 +93,8 @@ def main() -> None:
     timings["index_build"] = time.monotonic() - t0
 
     synonyms = dict(gen_synonyms())
-    # preload: serving-mode engine (index pinned in memory, the Vespa
-    # analog) — single-query latencies measure query work, not parquet
-    # re-open
+    # preload=True: segments pinned (the offline-evaluation engine) —
+    # single-query latencies measure query work, not parquet re-open
     eng = SearchEngine(spark, index_dir, synonyms=synonyms, preload=True)
 
     qset = gen_queries(seed=42, n=100)
@@ -126,13 +109,11 @@ def main() -> None:
         for r in qset.itertuples()
     ]
     t0 = time.monotonic()
-    n_batch_rows = search_batch(eng, specs).count()
+    counts["batch_rows"] = search_batch(eng, specs).count()
     timings["batch100"] = time.monotonic() - t0
 
-    from micce_search_engine_spark.operators.batch_query import search_batch_topk
-
     t0 = time.monotonic()
-    n_wand_rows = search_batch_topk(eng, specs).count()
+    counts["batch_wand_rows"] = search_batch_topk(eng, specs).count()
     timings["batch100_wand"] = time.monotonic() - t0
 
     single_qs = {
@@ -158,12 +139,27 @@ def main() -> None:
     eng.search("the w000001", limit=10, page=1, topk_only=True)
     timings["q_wand_and2"] = time.monotonic() - t0
 
+    # serving tier (round-4): preload="decoded" pins the decoded
+    # postings term-clustered in executor memory (the Vespa
+    # index-in-RAM analog). Cache build is part of OPENING the serving
+    # engine, reported separately; the q_p50_preload leg measures the
+    # steady-state query path.
+    t0 = time.monotonic()
+    eng_srv = SearchEngine(spark, index_dir, synonyms=synonyms, preload="decoded")
+    timings["preload_open"] = time.monotonic() - t0
+    lat_srv = []
+    for name, (qt, lf) in single_qs.items():
+        t0 = time.monotonic()
+        eng_srv.search(qt, lang_filter=lf, limit=10, page=1)
+        lat_srv.append(time.monotonic() - t0)
+    timings["q_p50_preload"] = statistics.median(lat_srv)
+    eng_srv._decoded_cached.unpersist()
+    eng_srv._segments_cached.unpersist()
+    eng_srv._term_stats.unpersist()
+    eng._segments_cached.unpersist()
+    eng._term_stats.unpersist()
+
     # pipeline ops on the driver-provided sf tables
-    from pyspark.sql import functions as F
-
-    from micce_search_engine_spark.operators.ann import brute_force_topk
-    from micce_search_engine_spark.operators.dedup import minhash_lsh_pairs
-
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     t0 = time.monotonic()
     minhash_lsh_pairs(docs, threshold=0.5).count()
@@ -176,8 +172,6 @@ def main() -> None:
     timings["ann_topk"] = time.monotonic() - t0
 
     # scale path: persisted LSH index, partition-pruned probe scan
-    from micce_search_engine_spark.operators.ann import build_ann_index, lsh_topk_indexed
-
     dim = len(qv)
     ann_dir = f"{WORKDIR}/mse_bench_ann"
     shutil.rmtree(ann_dir, ignore_errors=True)
@@ -185,23 +179,70 @@ def main() -> None:
     t0 = time.monotonic()
     lsh_topk_indexed(spark, ann_dir, qv, k=10).collect()
     timings["ann_topk_indexed"] = time.monotonic() - t0
+    return timings, counts
 
-    total = sum(v for k, v in timings.items() if k != "q_p50")
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        # shuffle/spill on the bench workdir (tmpfs for scaling runs —
+        # this VM's buffered disk writes are throttled to ~30 MB/s,
+        # which would make every leg disk-bound; a real cluster's
+        # aggregate disk bandwidth scales with executors)
+        extra_conf={"spark.local.dir": os.path.join(WORKDIR, "spark-local")},
+    )
+
+    from micce_search_engine_spark.operators.index_build import build_index
+
+    corpus_path = ensure_corpus(spark, n_docs)
+    pages = spark.read.parquet(corpus_path)
+
+    # JVM/JIT warmup: an untimed 5k-doc build first. A fresh JVM's
+    # first pipeline pays 40-60 s of whole-stage-codegen compilation +
+    # JIT + Python worker spin-up — a constant that swamps the timed
+    # metric at bench scale and would never appear in a long-lived
+    # cluster; measured steady-state build is what scales. (Disclosed
+    # in BENCH/BASELINE.md run conditions — Spark legs only.)
+    warm_dir = f"{WORKDIR}/mse_bench_index/warmup_c{cpus}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(
+        spark, pages.limit(5000), warm_dir, n_buckets=8, max_postings_per_row=200_000
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
+    # min-of-N reps (VERDICT r3 #8): a single rep inherits residual
+    # JIT/page-cache noise; per-rep arrays are recorded so readers can
+    # see the variance the min discards
+    reps: list[dict] = []
+    counts: dict[str, int] = {}
+    for _ in range(max(n_reps, 1)):
+        t, counts = run_suite(spark, pages, sf_dir, cpus, n_docs)
+        reps.append({k: round(v, 3) for k, v in t.items()})
+    timings = {k: min(r[k] for r in reps) for k in reps[0]}
+
+    total = sum(v for k, v in timings.items() if k not in ("q_p50", "q_p50_preload"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "index-build + BM25 query suite (synthetic pages corpus "
-        f"n={n_docs}, local[{cpus}])",
+        f"n={n_docs}, local[{cpus}], min of {len(reps)} reps)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": n_docs,
         "cpus": cpus,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
         "batch_queries_per_sec": round(100.0 / timings["batch100"], 2),
         "batch_wand_queries_per_sec": round(100.0 / timings["batch100_wand"], 2),
-        "batch_rows": int(n_batch_rows),
-        "batch_wand_rows": int(n_wand_rows),
+        "batch_rows": int(counts["batch_rows"]),
+        "batch_wand_rows": int(counts["batch_wand_rows"]),
     }
     print(json.dumps(result))
     spark.stop()

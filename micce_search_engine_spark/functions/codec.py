@@ -101,6 +101,7 @@ def encode_postings(
     wf: np.ndarray,
     dls: np.ndarray | None = None,
     langs: np.ndarray | None = None,
+    positions: list | None = None,
 ) -> dict:
     """Encode one term's postings (pre-sorted unique doc_ids) into blocks.
 
@@ -111,6 +112,14 @@ def encode_postings(
     ``attribute``/``fast-search``) so query-time scoring AND the exact
     lang filter need no join against a doc table — at 10^12 docs that
     join is a full shuffle per query batch.
+
+    ``positions`` (optional, round-4): per-posting ascending token
+    positions — exactly ``tf`` values per posting. Stored as a 5th
+    varbyte stream (first position absolute, rest deltas) so Vespa's
+    phrase semantics for ``field contains "multi word"``
+    (/root/reference/search-api/internal/repository/query/whereQuery.go:43-57)
+    can be matched exactly; like Lucene's omit-positions option it is
+    opt-in because it roughly doubles posting bytes.
     Returns a dict of plain-python/bytes values matching the segment
     table schema in index_build.py.
     """
@@ -140,14 +149,34 @@ def encode_postings(
     deltas = np.diff(doc_ids)
     keep = np.ones(max(n - 1, 0), dtype=bool)
     keep[starts[1:] - 1] = False  # drop the cross-block delta
+    pos_deltas = None
+    tcum = None
+    if positions is not None:
+        assert len(positions) == n
+        pos_flat = (
+            np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+            if n
+            else np.empty(0, dtype=np.int64)
+        )
+        tcum = np.concatenate(([0], np.cumsum(tfs)))
+        assert pos_flat.size == tcum[-1], "positions per posting must equal tf"
+        # delta within each posting, first value absolute
+        pos_deltas = np.empty(pos_flat.size, dtype=np.int64)
+        if pos_flat.size:
+            pos_deltas[0] = pos_flat[0]
+            pos_deltas[1:] = pos_flat[1:] - pos_flat[:-1]
+            pos_deltas[tcum[:-1]] = pos_flat[tcum[:-1]]  # posting-firsts absolute
+
     doc_parts = []
     tf_parts = []
     dl_parts = []
     lang_parts = []
+    pos_parts = []
     doc_off = [0]
     tf_off = [0]
     dl_off = [0]
     lang_off = [0]
+    pos_off = [0]
     for bi in range(n_blocks):
         s, e = starts[bi], bounds[bi]
         d = deltas[s : e - 1] if e - s > 1 else np.empty(0, dtype=np.int64)
@@ -159,8 +188,13 @@ def encode_postings(
         tf_off.append(tf_off[-1] + len(tf_parts[-1]))
         dl_off.append(dl_off[-1] + len(dl_parts[-1]))
         lang_off.append(lang_off[-1] + len(lang_parts[-1]))
+        if pos_deltas is not None:
+            pos_parts.append(
+                varbyte_encode(pos_deltas[tcum[s] : tcum[e]].astype(np.uint64))
+            )
+            pos_off.append(pos_off[-1] + len(pos_parts[-1]))
 
-    return {
+    out = {
         "df": int(n),
         "cf": int(tfs.sum()),
         "max_tf": int(tfs.max()),
@@ -179,17 +213,27 @@ def encode_postings(
         "dl_blob": b"".join(dl_parts),
         "lang_blob": b"".join(lang_parts),
     }
+    if pos_deltas is not None:
+        out["block_pos_off"] = [int(x) for x in pos_off]
+        out["pos_blob"] = b"".join(pos_parts)
+    return out
 
 
 def decode_postings(
-    row: dict, block_mask: np.ndarray | None = None, want_lang: bool = False
+    row: dict,
+    block_mask: np.ndarray | None = None,
+    want_lang: bool = False,
+    want_positions: bool = False,
 ) -> tuple[np.ndarray, ...]:
     """Decode (optionally a subset of blocks of) one term's postings.
 
     ``row`` is a dict-like with the encode_postings fields.
     ``block_mask`` is a boolean array over blocks; None decodes all.
     Returns (doc_ids int64, tfs int64, dls int64) — plus langs int64
-    when ``want_lang`` (older rows without a lang stream yield zeros).
+    when ``want_lang`` (older rows without a lang stream yield zeros),
+    plus a FLAT positions int64 array when ``want_positions`` (exactly
+    ``tf`` values per posting, in posting order — split with
+    ``np.cumsum(tfs)``; requires a row encoded with positions).
     """
     first = np.asarray(row["block_first_doc"], dtype=np.int64)
     block_n = np.asarray(row["block_n"], dtype=np.int64)
@@ -203,6 +247,14 @@ def decode_postings(
     if has_lang:
         lang_off = np.asarray(row["block_lang_off"], dtype=np.int64)
         lang_blob = np.frombuffer(bytes(row["lang_blob"]), dtype=np.uint8)
+    if want_positions:
+        if row.get("pos_blob") is None:
+            raise ValueError(
+                "decode_postings: positions requested but this segment row "
+                "has no position stream (index built without positions)"
+            )
+        pos_off = np.asarray(row["block_pos_off"], dtype=np.int64)
+        pos_blob = np.frombuffer(bytes(row["pos_blob"]), dtype=np.uint8)
     n_blocks = first.size
     if block_mask is None:
         block_mask = np.ones(n_blocks, dtype=bool)
@@ -210,12 +262,17 @@ def decode_postings(
     empty = np.empty(0, dtype=np.int64)
     if sel.size == 0:
         out = (empty, empty.copy(), empty.copy())
-        return out + (empty.copy(),) if want_lang else out
+        if want_lang:
+            out = out + (empty.copy(),)
+        if want_positions:
+            out = out + (empty.copy(),)
+        return out
 
     docs_out = []
     tfs_out = []
     dls_out = []
     langs_out = []
+    pos_out = []
     for bi in sel:
         d = varbyte_decode(doc_blob[doc_off[bi] : doc_off[bi + 1]]).astype(np.int64)
         ids = np.empty(block_n[bi], dtype=np.int64)
@@ -223,9 +280,8 @@ def decode_postings(
         if d.size:
             ids[1:] = first[bi] + np.cumsum(d)
         docs_out.append(ids)
-        tfs_out.append(
-            varbyte_decode(tf_blob[tf_off[bi] : tf_off[bi + 1]]).astype(np.int64)
-        )
+        tfs = varbyte_decode(tf_blob[tf_off[bi] : tf_off[bi + 1]]).astype(np.int64)
+        tfs_out.append(tfs)
         dls_out.append(
             varbyte_decode(dl_blob[dl_off[bi] : dl_off[bi + 1]]).astype(np.int64)
         )
@@ -235,11 +291,31 @@ def decode_postings(
                     np.int64
                 )
             )
+        if want_positions:
+            pd_ = varbyte_decode(pos_blob[pos_off[bi] : pos_off[bi + 1]]).astype(
+                np.int64
+            )
+            # undo within-posting deltas: cumsum, reset at posting firsts
+            if pd_.size:
+                tcum = np.concatenate(([0], np.cumsum(tfs)))
+                firsts = tcum[:-1]
+                # subtract each posting's running base so a plain cumsum
+                # restarts per posting: cumsum of deltas, then at each
+                # posting-first the absolute value is already stored
+                run = np.cumsum(pd_)
+                base = np.zeros(pd_.size, dtype=np.int64)
+                base[firsts] = run[firsts] - pd_[firsts]
+                np.maximum.accumulate(base, out=base)
+                pos_out.append(run - base)
+            else:
+                pos_out.append(pd_)
     docs = np.concatenate(docs_out)
     out = (docs, np.concatenate(tfs_out), np.concatenate(dls_out))
     if want_lang:
         langs = np.concatenate(langs_out) if has_lang else np.zeros_like(docs)
         out = out + (langs,)
+    if want_positions:
+        out = out + (np.concatenate(pos_out),)
     return out
 
 
@@ -251,6 +327,7 @@ def encode_many(
     dls: np.ndarray,
     wf: np.ndarray,
     langs: np.ndarray | None = None,
+    pos_flat: np.ndarray | None = None,
 ) -> list[dict]:
     """Batch-vectorized encode of MANY terms' postings at once.
 
@@ -260,6 +337,10 @@ def encode_many(
     O(1) varbyte calls per batch instead of O(groups) — this is the hot
     path of the whole index build (tens of thousands of Zipf-tail terms
     per shuffle partition).
+
+    ``pos_flat`` (optional): ALL postings' positions concatenated in
+    posting order (exactly ``tf`` values per posting) — encoded as the
+    optional 5th stream (see encode_postings).
     """
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
@@ -314,6 +395,29 @@ def encode_many(
     dl_stream, blk_dl_s, blk_dl_e = _streams(dls)
     lang_stream, blk_lang_s, blk_lang_e = _streams(langs)
 
+    # --- optional position stream (per-posting delta, first absolute) -
+    has_pos = pos_flat is not None
+    if has_pos:
+        pos_flat = np.asarray(pos_flat, dtype=np.int64)
+        tcum = np.concatenate(([0], np.cumsum(tfs)))
+        assert pos_flat.size == tcum[-1], "pos_flat must hold tf values/posting"
+        pos_deltas = np.empty(pos_flat.size, dtype=np.int64)
+        if pos_flat.size:
+            pos_deltas[0] = pos_flat[0]
+            pos_deltas[1:] = pos_flat[1:] - pos_flat[:-1]
+            pos_deltas[tcum[:-1]] = pos_flat[tcum[:-1]]  # posting-firsts absolute
+        pos_stream, psizes = _varbyte_encode_with_sizes(pos_deltas.astype(np.uint64))
+        pe = np.cumsum(psizes)
+        ps = pe - psizes
+        # block byte range in value space: values tcum[bstart]..tcum[bend];
+        # every block holds >= 1 posting with tf >= 1, so both index
+        # expressions are always in range
+        vstart = tcum[bstarts]
+        vend = tcum[bends]
+        blk_pos_s = ps[vstart]
+        blk_pos_e = pe[vend - 1]
+        pos_bytes = pos_stream.tobytes()
+
     # --- per-group reductions ------------------------------------------
     grp_cf = np.add.reduceat(tfs, starts)
     grp_max_tf = np.maximum.reduceat(tfs, starts)
@@ -335,6 +439,8 @@ def encode_many(
         gts = int(blk_tf_s[b0])
         gls = int(blk_dl_s[b0])
         ggs = int(blk_lang_s[b0])
+        if has_pos:
+            gps = int(blk_pos_s[b0])
         out.append(
             {
                 "df": int(sizes[gi]),
@@ -364,6 +470,11 @@ def encode_many(
                 "lang_blob": lang_bytes[ggs : int(blk_lang_e[b1 - 1])],
             }
         )
+        if has_pos:
+            out[-1]["block_pos_off"] = (
+                np.append(blk_pos_s[b0:b1], blk_pos_e[b1 - 1]) - gps
+            ).tolist()
+            out[-1]["pos_blob"] = pos_bytes[gps : int(blk_pos_e[b1 - 1])]
     return out
 
 
@@ -374,10 +485,12 @@ def merge_encoded(parts: list[dict]) -> dict:
     absolutely. Used by the hierarchical hot-term merge
     (SURVEY.md §4.2 item 3)."""
     parts = sorted(parts, key=lambda p: p["block_first_doc"][0])
+    has_pos = all(p.get("pos_blob") is not None for p in parts)
     doc_off = [0]
     tf_off = [0]
     dl_off = [0]
     lang_off = [0]
+    pos_off = [0]
     for p in parts:
         base_d, base_t, base_l = doc_off[-1], tf_off[-1], dl_off[-1]
         base_g = lang_off[-1]
@@ -385,7 +498,19 @@ def merge_encoded(parts: list[dict]) -> dict:
         tf_off.extend(base_t + o for o in p["block_tf_off"][1:])
         dl_off.extend(base_l + o for o in p["block_dl_off"][1:])
         lang_off.extend(base_g + o for o in p["block_lang_off"][1:])
+        if has_pos:
+            base_p = pos_off[-1]
+            pos_off.extend(base_p + o for o in p["block_pos_off"][1:])
+    extra = (
+        {
+            "block_pos_off": pos_off,
+            "pos_blob": b"".join(bytes(p["pos_blob"]) for p in parts),
+        }
+        if has_pos
+        else {}
+    )
     return {
+        **extra,
         "df": sum(p["df"] for p in parts),
         "cf": sum(p["cf"] for p in parts),
         "max_tf": max(p["max_tf"] for p in parts),

@@ -51,6 +51,11 @@ SEGMENT_SCHEMA = (
     "doc_blob binary, tf_blob binary, dl_blob binary, lang_blob binary"
 )
 
+#: positional variant (round-4): adds the optional 5th stream so phrase
+#: queries can verify token adjacency (Vespa's ``contains "multi word"``
+#: is a phrase match on index fields — whereQuery.go:43-57)
+SEGMENT_POS_SCHEMA = SEGMENT_SCHEMA + ", block_pos_off array<long>, pos_blob binary"
+
 
 def bucket_of(term: str, n_buckets: int) -> int:
     """Deterministic, JVM-independent term bucket (used at build AND
@@ -71,9 +76,21 @@ class IndexPaths:
 
 
 TERMS_SCHEMA = "doc_id long, term string, tf long, dl long, lang_id long"
+TERMS_POS_SCHEMA = TERMS_SCHEMA + ", positions array<int>"
 
 
 def _tokenize_count(it):
+    """mapInArrow wrapper without positions (TERMS_SCHEMA)."""
+    yield from _tokenize_count_impl(it, with_positions=False)
+
+
+def _tokenize_count_pos(it):
+    """mapInArrow wrapper WITH per-(doc,term) token positions
+    (TERMS_POS_SCHEMA) — round-4 phrase support."""
+    yield from _tokenize_count_impl(it, with_positions=True)
+
+
+def _tokenize_count_impl(it, with_positions: bool):
     """mapInArrow: pages RecordBatches -> (doc_id, term, tf, dl, lang_id).
 
     Tokenizing AND term-counting in one pass emits one row per unique
@@ -187,19 +204,40 @@ def _tokenize_count(it):
         o = uk // n_u
         c = uk % n_u
         term_pa = uniq.take(pa.array(c))
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(ids[o]),
-                term_pa,
-                pa.array(tf.astype(np.int64)),
-                pa.array(dl_per_doc[o].astype(np.int64)),
-                pa.array(lang_arr[o]),
-            ],
-            names=["doc_id", "term", "tf", "dl", "lang_id"],
-        )
+        arrays = [
+            pa.array(ids[o]),
+            term_pa,
+            pa.array(tf.astype(np.int64)),
+            pa.array(dl_per_doc[o].astype(np.int64)),
+            pa.array(lang_arr[o]),
+        ]
+        names = ["doc_id", "term", "tf", "dl", "lang_id"]
+        if with_positions:
+            # position of each kept token within its doc: tokens are
+            # contiguous per doc and in text order, so a per-doc run
+            # restart of arange gives the index
+            change = np.empty(owner.size, dtype=bool)
+            change[0] = True
+            change[1:] = owner[1:] != owner[:-1]
+            run_starts = np.flatnonzero(change)
+            run_ids = np.cumsum(change) - 1
+            pos_in_doc = np.arange(owner.size, dtype=np.int64) - run_starts[run_ids]
+            # group positions by (doc, term): stable argsort keeps the
+            # ascending text order within each group, and sorted-key
+            # group order matches np.unique's sorted uk
+            order = np.argsort(key, kind="stable")
+            offsets = np.concatenate(([0], np.cumsum(tf))).astype(np.int32)
+            arrays.append(
+                pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(pos_in_doc[order].astype(np.int32)),
+                )
+            )
+            names.append("positions")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def _make_partition_encoder(avgdl: float, n_buckets: int):
+def _make_partition_encoder(avgdl: float, n_buckets: int, with_positions: bool = False):
     """Sort-based streaming encoder over a (term,salt)-partitioned,
     (term,salt,doc_id)-sorted partition.
 
@@ -224,7 +262,16 @@ def _make_partition_encoder(avgdl: float, n_buckets: int):
         change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pdf))
-        rows = encode_many(starts, ends, docs, tfs, dls, wf, langs)
+        pos_flat = None
+        if with_positions:
+            pos_flat = (
+                np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+                )
+                if len(pdf)
+                else np.empty(0, dtype=np.int64)
+            )
+        rows = encode_many(starts, ends, docs, tfs, dls, wf, langs, pos_flat)
         gterms = terms[starts]
         gsalts = salts[starts]
         for gi, enc in enumerate(rows):
@@ -268,6 +315,7 @@ def build_index(
     doc_id_col: str | None = None,
     docs_per_bucket: int = 262_144,
     url_buckets: int = 64,
+    with_positions: bool = False,
 ) -> None:
     """Build (or resume building) the full index under ``index_dir``.
 
@@ -286,6 +334,12 @@ def build_index(
     apply_upsert then rewrites ONLY touched partition dirs — the
     path-swap stand-in for Iceberg/Delta MERGE file-level rewrites
     (those runtimes are absent from this image).
+
+    ``with_positions`` (round-4): store per-posting token positions as
+    an optional 5th varbyte stream so phrase queries (Vespa's
+    ``contains "multi word"`` semantics, whereQuery.go:43-57) verify
+    exact adjacency. Opt-in, like Lucene's positions option: it
+    roughly doubles posting bytes and the terms-shuffle volume.
     """
     os.makedirs(index_dir, exist_ok=True)
     m = Manifest(index_dir)
@@ -384,8 +438,10 @@ def build_index(
                 sel = sel.repartition(n_tok)
             else:
                 sel = sel.repartitionByRange(n_tok, "doc_id")
+            tok_fn = _tokenize_count_pos if with_positions else _tokenize_count
+            tok_schema = TERMS_POS_SCHEMA if with_positions else TERMS_SCHEMA
             (
-                sel.mapInArrow(_tokenize_count, TERMS_SCHEMA)
+                sel.mapInArrow(tok_fn, tok_schema)
                 .withColumn("dbucket", dbucket)
                 .write.mode("overwrite")
                 .partitionBy("dbucket")
@@ -476,6 +532,12 @@ def build_index(
             stats_row = spark.read.parquet(p.stats).collect()[0]
             n_docs, avgdl = int(stats_row["N"]), float(stats_row["avgdl"])
             terms = spark.read.parquet(p.terms)
+            if with_positions and "positions" not in terms.columns:
+                raise RuntimeError(
+                    "build_index(with_positions=True) resumed over a terms "
+                    "table built WITHOUT positions; delete the index dir "
+                    "and rebuild"
+                )
             # count the RAW parquet read (zero-column scan ≈ footer
             # row-counts, no decode) BEFORE the hot-term join below —
             # counting after the join ran a full extra join job per
@@ -504,10 +566,14 @@ def build_index(
             # spilling (measured superlinear build time at 1M docs)
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
             n_enc = max(n_shuffle, -(-n_term_rows // 2_000_000))
+            seg_schema = SEGMENT_POS_SCHEMA if with_positions else SEGMENT_SCHEMA
             (
                 terms.repartition(n_enc, "term", "salt")
                 .sortWithinPartitions("term", "salt", "doc_id")
-                .mapInPandas(_make_partition_encoder(avgdl, n_buckets), SEGMENT_SCHEMA)
+                .mapInPandas(
+                    _make_partition_encoder(avgdl, n_buckets, with_positions),
+                    seg_schema,
+                )
                 # cluster encoded rows by bucket so the dynamic-partition
                 # writer emits one file per bucket instead of every task
                 # fanning out to all n_buckets dirs (and sort by term so
@@ -539,7 +605,8 @@ def build_index(
                 "langs": langs,
                 "docs_per_bucket": docs_per_bucket,
                 "url_buckets": url_buckets,
-                "version": 3,
+                "has_positions": with_positions,
+                "version": 4,
             },
             f,
         )

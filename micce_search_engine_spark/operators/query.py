@@ -61,6 +61,10 @@ _POSTING_SCHEMA = "term string, doc_id long, tf long, dl long"
 _POSTING_LANG_SCHEMA = "term string, doc_id long, tf long, dl long, lang_id long"
 _SCORE_SCHEMA = "term string, doc_id long, wf double"
 _SCORE_LANG_SCHEMA = "term string, doc_id long, wf double, lang_id long"
+_POSTING_LANG_POS_SCHEMA = (
+    "term string, doc_id long, tf long, dl long, lang_id long, positions array<int>"
+)
+_SCORE_POS_SCHEMA = "term string, doc_id long, wf double, positions array<int>"
 
 # fixed-point scale: contributions are floor(idf * wf * 1e9) int64
 SCORE_SCALE = 1e9
@@ -96,6 +100,12 @@ _MODE_COLS = {
         "lang_blob",
     ],
 }
+# positional variants (round-4 phrase support): same scans + the
+# optional 5th stream's columns
+_POS_COLS = ["block_pos_off", "pos_blob"]
+_MODE_COLS["postings_lang_pos"] = _MODE_COLS["postings_lang"] + _POS_COLS
+_MODE_COLS["score_pos"] = _MODE_COLS["score"] + _POS_COLS
+_MODE_COLS["score_pos_lang"] = _MODE_COLS["score_lang"] + _POS_COLS
 
 
 def _batch_row_views(batch, names: list[str]):
@@ -165,14 +175,16 @@ def _decode_map(
     (<= blocks-per-segment-row = max_postings_per_row/BLOCK_SIZE ints
     per row).
     """
-    want_lang = mode in ("score_lang", "postings_lang") or (
-        mode == "score" and lang_id is not None
+    want_lang = mode in ("score_lang", "postings_lang", "postings_lang_pos") or (
+        mode in ("score", "score_pos") and lang_id is not None
     )
-    cols = (
-        _MODE_COLS["score_lang"]
-        if (mode == "score" and lang_id is not None)
-        else _MODE_COLS[mode]
-    )
+    want_pos = mode in ("postings_lang_pos", "score_pos")
+    if mode == "score" and lang_id is not None:
+        cols = _MODE_COLS["score_lang"]
+    elif mode == "score_pos" and lang_id is not None:
+        cols = _MODE_COLS["score_pos_lang"]
+    else:
+        cols = _MODE_COLS[mode]
 
     def fn(it):
         import pyarrow as pa
@@ -184,33 +196,46 @@ def _decode_map(
             rows = _batch_row_views(batch, names)
             terms, sizes = [], []
             docs_out, a_out, b_out, c_out = [], [], [], []
+            pos_out, plen_out = [], []
             for row in rows:
                 mask = None
                 allowed = row.get("allowed")
                 if allowed is not None:
                     mask = np.zeros(len(row["block_first_doc"]), dtype=bool)
                     mask[np.asarray(allowed, dtype=np.int64)] = True
-                if want_lang:
-                    docs, tfs, dls, langs = decode_postings(row, mask, want_lang=True)
+                dec = decode_postings(
+                    row, mask, want_lang=want_lang, want_positions=want_pos
+                )
+                if want_lang and want_pos:
+                    docs, tfs, dls, langs, pos = dec
+                elif want_lang:
+                    docs, tfs, dls, langs = dec
+                elif want_pos:
+                    docs, tfs, dls, pos = dec
                 else:
-                    docs, tfs, dls = decode_postings(row, mask)
-                if mode == "score" and lang_id is not None:
+                    docs, tfs, dls = dec
+                if mode in ("score", "score_pos") and lang_id is not None:
                     keep = langs == lang_id
+                    if want_pos:
+                        pos = pos[np.repeat(keep, tfs)]
                     docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 if not docs.size:
                     continue
                 terms.append(row["term"])
                 sizes.append(docs.size)
                 docs_out.append(docs)
-                if mode in ("postings", "postings_lang"):
+                if mode in ("postings", "postings_lang", "postings_lang_pos"):
                     a_out.append(tfs)
                     b_out.append(dls)
-                    if mode == "postings_lang":
+                    if mode in ("postings_lang", "postings_lang_pos"):
                         c_out.append(langs)
                 else:
                     a_out.append(bm25_wf(tfs, dls, avgdl, BM25_K1, BM25_B))
                     if mode == "score_lang":
                         b_out.append(langs)
+                if want_pos:
+                    pos_out.append(pos)
+                    plen_out.append(tfs)
             if docs_out:
                 # expand the per-row term to per-posting rows with a
                 # C-level take (Spark can't consume Arrow dictionary
@@ -221,18 +246,28 @@ def _decode_map(
                 term_arr = pa.array(terms, type=pa.string()).take(pa.array(idx))
                 arrays = [term_arr, pa.array(np.concatenate(docs_out))]
                 names = ["term", "doc_id"]
-                if mode in ("postings", "postings_lang"):
+                if mode in ("postings", "postings_lang", "postings_lang_pos"):
                     arrays += [pa.array(np.concatenate(a_out)), pa.array(np.concatenate(b_out))]
                     names += ["tf", "dl"]
-                    if mode == "postings_lang":
+                    if mode in ("postings_lang", "postings_lang_pos"):
                         arrays.append(pa.array(np.concatenate(c_out)))
                         names.append("lang_id")
-                elif mode == "score":
+                elif mode in ("score", "score_pos"):
                     arrays.append(pa.array(np.concatenate(a_out)))
                     names.append("wf")
                 else:
                     arrays += [pa.array(np.concatenate(a_out)), pa.array(np.concatenate(b_out))]
                     names += ["wf", "lang_id"]
+                if want_pos:
+                    plens = np.concatenate(plen_out)
+                    offsets = np.concatenate(([0], np.cumsum(plens))).astype(np.int32)
+                    arrays.append(
+                        pa.ListArray.from_arrays(
+                            pa.array(offsets, type=pa.int32()),
+                            pa.array(np.concatenate(pos_out).astype(np.int32)),
+                        )
+                    )
+                    names.append("positions")
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return fn
@@ -318,10 +353,16 @@ class SearchEngine:
         spark: SparkSession,
         index_dir: str,
         synonyms: dict[str, str] | None = None,
-        preload: bool = False,
+        preload: bool | str = False,
     ):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
+        # heal an interrupted upsert before reading anything: a pending
+        # journal means some tables are post-swap and some pre-swap
+        # (operators/upsert.py round-4 crash-safe protocol)
+        from micce_search_engine_spark.operators.upsert import recover_upsert
+
+        recover_upsert(index_dir)
         with open(self.paths.meta) as f:
             self.meta = json.load(f)
         # v1 indexes have no per-posting lang stream: the score_lang
@@ -352,8 +393,32 @@ class SearchEngine:
         # same way; batch/offline sessions leave this off and rely on
         # bucket partition pruning.
         self._segments_cached = None
+        self._decoded_cached = None
         if preload:
             self._segments_cached = spark.read.parquet(self.paths.segments).persist()
+        if preload == "decoded":
+            # serving tier (round-4): pin the FULLY DECODED postings
+            # (term, doc_id, tf, dl, lang_id), term-clustered so the
+            # in-memory columnar cache's per-batch min/max stats prune
+            # non-matching batches — the closest Spark analog of Vespa
+            # holding its index in RAM. A query then skips parquet AND
+            # the Arrow decode entirely; wf is recomputed as Column
+            # math in the exact bm25_wf evaluation order (bit-identical
+            # doubles). Memory = one row per posting per executor —
+            # the deliberate serving-tier tradeoff; batch/offline
+            # sessions use preload=False/True instead.
+            n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            self._decoded_cached = (
+                self._segments_cached.select(*_MODE_COLS["postings_lang"])
+                .mapInArrow(
+                    _decode_map("postings_lang", avgdl=self.avgdl),
+                    _POSTING_LANG_SCHEMA,
+                )
+                .repartition(n_shuf, "term")
+                .sortWithinPartitions("term")
+                .persist()
+            )
+            self._decoded_cached.count()  # materialize at open, not query 1
         # lossless WAND after incremental upserts: stored block bounds
         # were encoded with a possibly-smaller avgdl; scaling them by
         # avgdl_now/min_avgdl_encoded keeps them true upper bounds
@@ -435,12 +500,45 @@ class SearchEngine:
         the segment scan so only surviving blocks are decoded (segment
         rows with no selection row drop out entirely)."""
         want_lang = mode == "score_lang" or (mode == "score" and lang_id is not None)
-        cols = _MODE_COLS["score_lang" if want_lang else mode]
+        if (
+            self._decoded_cached is not None
+            and block_join is None
+            and mode in ("score", "score_lang")
+        ):
+            # serving fast path: filter the pinned decoded postings
+            # (batch-stat pruned by term thanks to the term-clustered
+            # cache layout) and recompute wf as Column math in the
+            # EXACT bm25_wf evaluation order — long->double promotion
+            # and each IEEE op match the numpy expression bit-for-bit
+            base = self._decoded_cached.filter(F.col("term").isin(terms))
+            k1, b = BM25_K1, BM25_B
+            wf_col = (
+                F.col("tf") * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(self.avgdl))
+                )
+            )
+            out = base.withColumn("wf", wf_col)
+            if mode == "score":
+                if lang_id is not None:
+                    out = out.filter(F.col("lang_id") == lang_id)
+                return out.select("term", "doc_id", "wf")
+            return out.select("term", "doc_id", "wf", "lang_id")
+        if mode == "score" and lang_id is not None:
+            cols = _MODE_COLS["score_lang"]
+        elif mode == "score_pos" and lang_id is not None:
+            cols = _MODE_COLS["score_pos_lang"]
+        else:
+            cols = _MODE_COLS[mode]
         schema = {
             "postings": _POSTING_SCHEMA,
             "postings_lang": _POSTING_LANG_SCHEMA,
+            "postings_lang_pos": _POSTING_LANG_POS_SCHEMA,
             "score": _SCORE_SCHEMA,
             "score_lang": _SCORE_LANG_SCHEMA,
+            "score_pos": _SCORE_POS_SCHEMA,
         }[mode]
         seg = self._segments_for(terms, cols)
         if block_join is not None:
@@ -576,6 +674,88 @@ class SearchEngine:
         return surviving.groupBy("term", "salt").agg(
             F.collect_list("bi").alias("allowed")
         )
+
+    # -- phrase search (round-4) ----------------------------------------
+
+    def search_phrase(
+        self,
+        query_text: str,
+        lang_filter: str | None = None,
+        limit: int = 10,
+        page: int = 1,
+    ) -> dict:
+        """Exact PHRASE match + BM25 ranking — Vespa's semantics for
+        ``field contains "multi word"`` on an index field
+        (/root/reference/search-api/internal/repository/query/whereQuery.go:43-57):
+        the query's tokens must appear CONSECUTIVELY in the document's
+        token stream. Requires an index built with
+        ``with_positions=True``; scoring is standard BM25 over the
+        phrase's distinct terms (matching Vespa, which ranks phrase
+        hits with the same bm25 feature).
+
+        Fully relational adjacency: decode (term, doc_id, wf,
+        positions) once, explode positions, shift the i-th phrase
+        token's positions back by i, and a doc has the phrase iff some
+        (doc, start) cell collects all m tokens — one map-side-
+        combinable hash aggregate, no driver-side verification loop.
+        Exact totals come from the same fused count+top-k job as
+        ``search``.
+        """
+        if limit < 1 or page < 1:
+            raise ValueError("limit and page are required and must be >= 1")
+        if not self.meta.get("has_positions"):
+            raise RuntimeError(
+                "search_phrase requires an index built with "
+                "with_positions=True (this index has no position stream)"
+            )
+        from micce_search_engine_spark.functions.tokenize import tokenize_text
+
+        qtokens = tokenize_text(query_text)
+        if not qtokens:
+            return {"total_hits": 0, "last_page": True, "results": []}
+        all_terms = sorted(set(qtokens))
+        idf = self.idf_map(all_terms)
+        k = limit * page
+        lid = self.lang_id_of(lang_filter)
+        m = len(qtokens)
+
+        dec = self._postings(all_terms, mode="score_pos", lang_id=lid).persist()
+        try:
+            # adjacency: token i at position p contributes (doc, p - i);
+            # a phrase occurrence at start s yields m distinct rows for
+            # (doc, s). Positions within a posting are distinct, so
+            # plain count(*) == m is exact (no countDistinct needed —
+            # the aggregate stays map-side combinable).
+            slots = None
+            for i, t in enumerate(qtokens):
+                b = (
+                    dec.filter(F.col("term") == t)
+                    .select("doc_id", F.explode("positions").alias("pos"))
+                    .select("doc_id", (F.col("pos") - F.lit(i)).alias("p0"))
+                    .filter(F.col("p0") >= 0)
+                )
+                slots = b if slots is None else slots.unionByName(b)
+            phrase_docs = (
+                slots.groupBy("doc_id", "p0")
+                .agg(F.count(F.lit(1)).alias("nslots"))
+                .filter(F.col("nslots") == m)
+                .select("doc_id")
+                .distinct()
+            )
+            branches = [all_terms]  # AND of distinct terms, then adjacency
+            cand = self._scored(
+                dec.select("term", "doc_id", "wf"), idf, branches
+            ).join(phrase_docs, "doc_id", "left_semi")
+            total, top = _topk_and_count(cand, k)
+        finally:
+            dec.unpersist()
+        offset = limit * (page - 1)
+        window = top[offset : offset + limit]
+        return {
+            "total_hits": total,
+            "last_page": total - limit * page <= 0,
+            "results": [(r["doc_id"], r["score"]) for r in window],
+        }
 
     # -- entry point ----------------------------------------------------
 

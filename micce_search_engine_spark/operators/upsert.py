@@ -78,6 +78,113 @@ def affected_terms(old: DataFrame, new: DataFrame, key: str = "url") -> DataFram
     return toks.distinct()
 
 
+_JOURNAL = "upsert_journal.json"
+
+
+def _journal_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _JOURNAL)
+
+
+def _apply_swaps(swaps: list[dict]) -> None:
+    """Execute (or roll forward) a list of directory swaps. IDEMPOTENT:
+    ``src`` missing for a rename entry means that swap already completed
+    (every src is created exactly once, before the journal is written),
+    so a crashed run can simply re-execute the whole list.
+
+    ``src = None`` marks a partition that became empty: its live dir is
+    moved aside (deleted at finalize)."""
+    for e in swaps:
+        dst, src = e["dst"], e["src"]
+        bak = dst + ".__old__"
+        if src is not None:
+            if not os.path.exists(src):
+                continue  # already swapped before the crash
+            shutil.rmtree(bak, ignore_errors=True)
+            if os.path.exists(dst):
+                os.rename(dst, bak)
+            os.rename(src, dst)
+        elif os.path.exists(dst):
+            shutil.rmtree(bak, ignore_errors=True)
+            os.rename(dst, bak)
+
+
+def _finalize_journal(index_dir: str, j: dict) -> None:
+    for e in j["swaps"]:
+        shutil.rmtree(e["dst"] + ".__old__", ignore_errors=True)
+    for t in j.get("tmp_roots", []):
+        shutil.rmtree(t, ignore_errors=True)
+    try:
+        os.remove(_journal_path(index_dir))
+    except FileNotFoundError:
+        pass
+
+
+def recover_upsert(index_dir: str) -> bool:
+    """Complete an interrupted apply_upsert (ADVICE r3, medium): the
+    journal is written only after EVERY patched table has been fully
+    staged to tmp dirs, so recovery always ROLLS FORWARD — re-running
+    the swap list (idempotent), rewriting meta.json from the journaled
+    copy, and cleaning up. A crash BEFORE the journal exists left the
+    live index untouched (only stale tmp dirs, swept by the next
+    upsert). Returns True when a pending journal was applied."""
+    jp = _journal_path(index_dir)
+    if not os.path.exists(jp):
+        return False
+    with open(jp) as f:
+        j = json.load(f)
+    _apply_swaps(j["swaps"])
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(j["meta"], f)
+    _finalize_journal(index_dir, j)
+    return True
+
+
+def _sweep_stale_tmp(index_dir: str) -> None:
+    """Remove tmp dirs abandoned by a run that crashed before writing
+    its journal (live tables were never touched, so this is pure GC).
+    Single-writer assumption: no other upsert is in flight."""
+    for name in os.listdir(index_dir):
+        if ".__patch_" in name or ".__upd_" in name or name == ".affected_terms.__tmp__":
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+
+
+def _prepare_patch(
+    df: DataFrame,
+    table_path: str,
+    part_col: str,
+    part_vals: list,
+    extra_parts: list[str] | None = None,
+) -> tuple[list[dict], str]:
+    """Stage a partition-scoped table patch WITHOUT touching the live
+    table: write the new rows (one Spark job, partitioned) to a tmp
+    root and return the swap entries + tmp root for the journal. A
+    listed partition absent from the tmp output became empty (src =
+    None -> its live dir is removed at swap time). Unlisted partitions
+    are never touched — the I/O contract that keeps upserts O(delta)."""
+    tmp = table_path + f".__patch_{uuid.uuid4().hex[:8]}__"
+    w = df.write.mode("overwrite").partitionBy(part_col, *(extra_parts or []))
+    w.parquet(tmp)
+    entries = []
+    for v in part_vals:
+        src = os.path.join(tmp, f"{part_col}={v}")
+        entries.append(
+            {
+                "dst": os.path.join(table_path, f"{part_col}={v}"),
+                "src": src if os.path.exists(src) else None,
+            }
+        )
+    return entries, tmp
+
+
+def _prepare_overwrite(df: DataFrame, path: str) -> dict:
+    """Stage a whole-table overwrite to tmp; swap happens at journal
+    time. The tmp dir IS the swap src (renamed away), so no separate
+    tmp_root cleanup is needed."""
+    tmp = path + f".__upd_{uuid.uuid4().hex[:8]}__"
+    df.write.mode("overwrite").parquet(tmp)
+    return {"dst": path, "src": tmp}
+
+
 def apply_upsert(
     spark: SparkSession,
     index_dir: str,
@@ -122,17 +229,28 @@ def apply_upsert(
     from micce_search_engine_spark.operators.docids import assign_doc_ids
     from micce_search_engine_spark.operators.index_build import (
         IndexPaths,
+        SEGMENT_POS_SCHEMA,
         SEGMENT_SCHEMA,
+        TERMS_POS_SCHEMA,
         TERMS_SCHEMA,
         _make_partition_encoder,
         _tokenize_count,
+        _tokenize_count_pos,
     )
     from micce_search_engine_spark.operators.query import (
+        _POSTING_LANG_POS_SCHEMA,
         _POSTING_LANG_SCHEMA,
         _decode_map,
     )
 
     p = IndexPaths(index_dir)
+    # heal a crashed prior upsert BEFORE reading anything: a pending
+    # journal means some tables are new and some old — roll forward
+    # (ADVICE r3: deltas applied across multiple swaps are not
+    # replayable after a partial crash, so the protocol now stages
+    # everything first and swaps under a journal)
+    recover_upsert(index_dir)
+    _sweep_stale_tmp(index_dir)
     with open(p.meta) as f:
         meta = json.load(f)
     if int(meta.get("version", 1)) < 3:
@@ -144,6 +262,10 @@ def apply_upsert(
     n_buckets = int(meta["n_buckets"])
     cap = int(meta["docs_per_bucket"])
     url_buckets = int(meta["url_buckets"])
+    # positional index (round-4): the delta must decode, carry and
+    # re-encode the position stream or phrase matching would silently
+    # break for every upserted term
+    has_pos = bool(meta.get("has_positions"))
 
     merged = merge_pages(old_pages, updates, key="url")
 
@@ -241,9 +363,12 @@ def apply_upsert(
     terms_aff = spark.read.parquet(p.terms).filter(F.col("dbucket").isin(dbuckets))
     # old term rows of changed docs: feeds affected-term set AND
     # term_stats deltas (delta-sized; no forced broadcast — ADVICE r2)
+    term_cols = ["doc_id", "term", "tf", "dl", "lang_id"] + (
+        ["positions"] if has_pos else []
+    )
     old_terms_rows = (
         terms_aff.join(changed_ids, "doc_id", "left_semi")
-        .select("doc_id", "term", "tf", "dl", "lang_id")
+        .select(*term_cols)
         .persist()
     )
     new_terms_rows = (
@@ -252,7 +377,10 @@ def apply_upsert(
             F.col("_new_text").alias("text"),
             lang_map[F.coalesce(F.col("_new_lang"), F.lit(""))].cast("long").alias("lang_id"),
         )
-        .mapInArrow(_tokenize_count, TERMS_SCHEMA)
+        .mapInArrow(
+            _tokenize_count_pos if has_pos else _tokenize_count,
+            TERMS_POS_SCHEMA if has_pos else TERMS_SCHEMA,
+        )
     ).persist()
     new_terms_rows.count()
     # materialize the affected-term set NOW — downstream plans must not
@@ -277,7 +405,18 @@ def apply_upsert(
         .unionByName(new_terms_rows)
         .withColumn("dbucket", dbucket_col)
     )
-    _patch_partitions(spark, terms_patched, p.terms, "dbucket", dbuckets)
+    # crash-safe protocol (round-4, ADVICE r3): EVERY table patch below
+    # is STAGED to tmp dirs first — no live path is touched until all
+    # outputs exist — then a journal records the swap list + new meta,
+    # the swaps run back-to-back, and recovery (recover_upsert) rolls
+    # an interrupted run forward from the journal. Incremental stats
+    # deltas are therefore applied exactly once: either the whole
+    # upsert lands or none of it does.
+    swaps: list[dict] = []
+    tmp_roots: list[str] = [aff_path]
+    e, t = _prepare_patch(terms_patched, p.terms, "dbucket", dbuckets)
+    swaps += e
+    tmp_roots.append(t)
 
     # -- patch docs table (same dbuckets) + incremental corpus stats ---
     docs_aff = spark.read.parquet(p.docs).filter(F.col("dbucket").isin(dbuckets))
@@ -310,9 +449,9 @@ def apply_upsert(
         .unionByName(changed_docs.select(*old_doc_cols))
         .withColumn("dbucket", dbucket_col)
     )
-    _patch_partitions(
-        spark, docs_patched, p.docs, "dbucket", dbuckets, extra_parts=["lang"]
-    )
+    e, t = _prepare_patch(docs_patched, p.docs, "dbucket", dbuckets, extra_parts=["lang"])
+    swaps += e
+    tmp_roots.append(t)
     n_now = n_old + int(n_inserted)
     sum_dl_now = sum_dl_old - int(dl_minus) + int(dl_plus)
     avgdl_now = sum_dl_now / n_now if n_now else 0.0
@@ -320,7 +459,7 @@ def apply_upsert(
         [(n_now, avgdl_now, sum_dl_now, int(max(max_id, max_id_new)))],
         "N long, avgdl double, sum_dl long, max_doc_id long",
     )
-    _atomic_overwrite(stats_new.coalesce(1), p.stats)
+    swaps.append(_prepare_overwrite(stats_new.coalesce(1), p.stats))
 
     # -- patch url_map: append new urls to their ubuckets --------------
     new_pairs = changed.filter(F.col("_is_new")).select("url", "doc_id")
@@ -336,7 +475,9 @@ def apply_upsert(
             .select("url", "doc_id")
         )
         um_patched = um_aff.unionByName(new_pairs).withColumn("ubucket", ub_col)
-        _patch_partitions(spark, um_patched, p.url_map, "ubucket", new_ubuckets)
+        e, t = _prepare_patch(um_patched, p.url_map, "ubucket", new_ubuckets)
+        swaps += e
+        tmp_roots.append(t)
 
     # -- patch term_stats: per-term df/cf deltas in affected tbuckets --
     tb_col = (F.crc32(F.encode(F.col("term"), "UTF-8")) % n_buckets).cast("int")
@@ -375,7 +516,9 @@ def apply_upsert(
         .filter(F.col("df") > 0)
         .withColumn("tbucket", tb_col)
     )
-    _patch_partitions(spark, ts_patched, p.term_stats, "tbucket", tbuckets)
+    e, ts_tmp = _prepare_patch(ts_patched, p.term_stats, "tbucket", tbuckets)
+    swaps += e
+    tmp_roots.append(ts_tmp)
 
     # -- re-encode ONLY affected terms; rewrite ONLY their buckets ------
     # postings sourced by DECODING the old segments (bucket-pruned) —
@@ -393,23 +536,27 @@ def apply_upsert(
     max_rows = int(meta.get("max_postings_per_row", 200_000))
     from micce_search_engine_spark.operators.query import _MODE_COLS
 
+    dec_mode = "postings_lang_pos" if has_pos else "postings_lang"
     seg_aff = (
         spark.read.parquet(p.segments)
         .filter(F.col("bucket").isin(aff_buckets))
         .join(affected, "term", "left_semi")
-        .select(*_MODE_COLS["postings_lang"])
+        .select(*_MODE_COLS[dec_mode])
     )
     old_postings = seg_aff.mapInArrow(
-        _decode_map(mode="postings_lang"), _POSTING_LANG_SCHEMA
+        _decode_map(mode=dec_mode),
+        _POSTING_LANG_POS_SCHEMA if has_pos else _POSTING_LANG_SCHEMA,
     )
     t = (
         old_postings.join(changed_ids, "doc_id", "left_anti")
         .unionByName(new_terms_rows)
     )
-    # hot terms among the affected only (pruned term_stats read)
+    # hot terms among the affected only — computed from the PATCHED
+    # term_stats plan (post-delta dfs, reading only live pre-swap
+    # tables; the staged tmp can be empty for a no-op delta, so it is
+    # not re-read here). Delta-sized recompute — cheap.
     hot = (
-        spark.read.parquet(p.term_stats)
-        .filter(F.col("tbucket").isin(tbuckets) & (F.col("df") > max_rows))
+        ts_patched.filter(F.col("df") > max_rows)
         .join(affected, "term", "left_semi")
         .select("term", F.col("df").alias("_hot_df"))
     )
@@ -428,7 +575,10 @@ def apply_upsert(
         .drop("_hot_df")
         .repartition(n_enc, "term", "salt")
         .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(_make_partition_encoder(avgdl_now, n_buckets), SEGMENT_SCHEMA)
+        .mapInPandas(
+            _make_partition_encoder(avgdl_now, n_buckets, has_pos),
+            SEGMENT_POS_SCHEMA if has_pos else SEGMENT_SCHEMA,
+        )
     ).persist()
     for b in aff_buckets:
         bucket_dir = os.path.join(p.segments, f"bucket={b}")
@@ -440,22 +590,32 @@ def apply_upsert(
         )
         add = re_encoded.filter(F.col("bucket") == b).drop("bucket")
         out = add if keep is None else keep.unionByName(add)
-        _atomic_overwrite(out, bucket_dir)
+        swaps.append(_prepare_overwrite(out, bucket_dir))
 
     meta["min_avgdl_encoded"] = min(
         float(meta.get("min_avgdl_encoded", meta.get("avgdl_encoded", avgdl_now))),
         avgdl_now,
     )
     meta["langs"] = langs
+
+    # -- commit point: journal, swap-all, meta, finalize ---------------
+    # everything above only created tmp dirs; everything below is
+    # re-runnable from the journal (recover_upsert)
+    journal = {"swaps": swaps, "meta": meta, "tmp_roots": tmp_roots}
+    jp = _journal_path(index_dir)
+    with open(jp + ".tmp", "w") as f:
+        json.dump(journal, f)
+    os.replace(jp + ".tmp", jp)
+    _apply_swaps(swaps)
     with open(p.meta, "w") as f:
         json.dump(meta, f)
+    _finalize_journal(index_dir, journal)
 
     changed.unpersist()
     changed_docs.unpersist()
     old_terms_rows.unpersist()
     new_terms_rows.unpersist()
     re_encoded.unpersist()
-    shutil.rmtree(aff_path, ignore_errors=True)
     # Spark's CacheManager matches cached plans BY PATH: an engine
     # opened before this upsert may have persisted e.g. term_stats, and
     # a NEW engine's identical read plan would silently serve the

@@ -183,3 +183,66 @@ def test_crc32_bucket_parity_with_spark(spark):
     for r in rows:
         assert r["b"] == bucket_of(r["term"], 16), r["term"]
         assert bucket_of(r["term"], 16) == zlib.crc32(r["term"].encode()) % 16
+
+
+def test_positions_roundtrip_and_equivalence():
+    """Round-4 optional 5th stream: per-posting position deltas.
+    encode_postings/decode_postings roundtrip, encode_many equivalence,
+    merge_encoded concatenation, block-subset alignment."""
+    import numpy as np
+
+    from micce_search_engine_spark.functions.codec import (
+        bm25_wf,
+        decode_postings,
+        encode_many,
+        encode_postings,
+        merge_encoded,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 300
+    docs = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 5, size=n).astype(np.int64)
+    dls = rng.integers(5, 50, size=n).astype(np.int64)
+    positions = [
+        np.sort(rng.choice(2000, size=int(t), replace=False)).astype(np.int64)
+        for t in tfs
+    ]
+    wf = bm25_wf(tfs, dls, 30.0, 1.2, 0.75)
+    langs = rng.integers(0, 4, size=n).astype(np.int64)
+    flat = np.concatenate(positions)
+
+    enc = encode_postings(docs, tfs, wf, dls, langs, positions)
+    d, t, l, g, p = decode_postings(enc, want_lang=True, want_positions=True)
+    assert np.array_equal(d, docs) and np.array_equal(p, flat)
+
+    # block subset keeps the position stream aligned
+    mask = np.zeros(len(enc["block_first_doc"]), dtype=bool)
+    mask[1] = True
+    d2, t2, l2, p2 = decode_postings(enc, mask, want_positions=True)
+    tc = np.concatenate(([0], np.cumsum(tfs)))
+    assert np.array_equal(d2, docs[128:256])
+    assert np.array_equal(p2, flat[tc[128] : tc[256]])
+
+    # encode_many == per-group encode_postings, field by field
+    starts, ends = np.array([0, 100, 250]), np.array([100, 250, 300])
+    rows = encode_many(starts, ends, docs, tfs, dls, wf, langs, flat)
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        ref = encode_postings(
+            docs[s:e], tfs[s:e], wf[s:e], dls[s:e], langs[s:e], positions[s:e]
+        )
+        for k in ref:
+            assert rows[gi][k] == ref[k], (gi, k)
+
+    # merge (the hot-term salted concat path) preserves positions
+    m = merge_encoded(rows)
+    dm, _, _, pm = decode_postings(m, want_positions=True)
+    assert np.array_equal(dm, docs) and np.array_equal(pm, flat)
+
+    # rows encoded WITHOUT positions refuse positional decode
+    enc2 = encode_postings(docs, tfs, wf, dls, langs)
+    try:
+        decode_postings(enc2, want_positions=True)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -186,3 +186,124 @@ def test_engine_cache_invalidated_after_upsert(spark, tmp_path):
     n = eng_after.N
     idf = math.log((n - 1 + 0.5) / 1.5 + 1.0)
     assert res["results"][0][1] < idf * 2.2 + 1e-9
+
+
+def test_upsert_crash_recovery_rolls_forward(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): a crash mid-swap must not leave the index
+    permanently inconsistent. Simulate a crash after HALF the journaled
+    swaps executed; recover_upsert must roll forward to the exact state
+    a clean upsert produces (stats, term_stats, and search results all
+    match a crash-free replica)."""
+    import micce_search_engine_spark.operators.upsert as up
+
+    pdf = gen_pages(300, seed=31)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    updates = spark.createDataFrame(
+        [
+            (pdf["url"].iloc[0], "crashterm alpha beta", "en"),
+            ("https://zz.example/new1", "crashterm gamma", "ja"),
+        ],
+        "url string, text string, lang string",
+    )
+
+    idx_ok = str(tmp_path / "idx_ok")
+    build_index(spark, pages, idx_ok, n_buckets=4, max_postings_per_row=10**9)
+    apply_upsert(spark, idx_ok, pages, updates)
+
+    idx_cr = str(tmp_path / "idx_cr")
+    build_index(spark, pages, idx_cr, n_buckets=4, max_postings_per_row=10**9)
+
+    real_apply = up._apply_swaps
+
+    def crash_midway(swaps):
+        real_apply(swaps[: len(swaps) // 2])
+        raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(up, "_apply_swaps", crash_midway)
+    try:
+        apply_upsert(spark, idx_cr, pages, updates)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(up, "_apply_swaps", real_apply)
+    assert os.path.exists(os.path.join(idx_cr, "upsert_journal.json"))
+
+    # opening the engine heals the index (roll-forward from journal)
+    for path in ("docs", "terms", "stats", "term_stats", "segments", "url_map"):
+        spark.catalog.refreshByPath(os.path.join(idx_cr, path))
+    eng_cr = SearchEngine(spark, idx_cr)
+    assert not os.path.exists(os.path.join(idx_cr, "upsert_journal.json"))
+    eng_ok = SearchEngine(spark, idx_ok)
+    assert eng_cr.N == eng_ok.N and abs(eng_cr.avgdl - eng_ok.avgdl) < 1e-12
+    for q in ["crashterm", "the", "alpha"]:
+        a = eng_cr.search(q, limit=10, page=1)
+        b = eng_ok.search(q, limit=10, page=1)
+        assert a["total_hits"] == b["total_hits"], q
+        assert a["results"] == b["results"], q
+    ts_a = sorted(
+        (r["term"], r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(idx_cr, "term_stats")).collect()
+    )
+    ts_b = sorted(
+        (r["term"], r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(idx_ok, "term_stats")).collect()
+    )
+    assert ts_a == ts_b
+
+
+def test_upsert_replay_after_recovery_is_noop(spark, tmp_path):
+    """Incremental stats deltas must be applied exactly once even when
+    the same updates are replayed after a completed upsert (the
+    at-least-once safety the journal preserves)."""
+    pdf = gen_pages(120, seed=33)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    idx = str(tmp_path / "idx_replay")
+    build_index(spark, pages, idx, n_buckets=4, max_postings_per_row=10**9)
+    updates = spark.createDataFrame(
+        [(pdf["url"].iloc[1], "replayterm one two", "en")],
+        "url string, text string, lang string",
+    )
+    merged = apply_upsert(spark, idx, pages, updates).persist()
+    merged.count()
+    s1 = spark.read.parquet(os.path.join(idx, "stats")).collect()[0]
+    apply_upsert(spark, idx, merged, updates)
+    s2 = spark.read.parquet(os.path.join(idx, "stats")).collect()[0]
+    assert (s1["N"], s1["sum_dl"], s1["max_doc_id"]) == (
+        s2["N"], s2["sum_dl"], s2["max_doc_id"],
+    )
+    merged.unpersist()
+
+
+def test_upsert_preserves_positions(spark, tmp_path):
+    """Round-4: a delta over a positional index must decode, carry and
+    re-encode the position stream — phrase queries stay correct for
+    both touched and untouched docs."""
+    idx = str(tmp_path / "idx_pos")
+    rows = [
+        ("u0", "new york city", "en"),
+        ("u1", "york new nope", "en"),
+        ("u2", "big new york here", "en"),
+        ("u3", "unrelated words only", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string")
+    build_index(
+        spark, pages, idx, n_buckets=4, max_postings_per_row=10**9,
+        with_positions=True,
+    )
+    eng = SearchEngine(spark, idx)
+    assert eng.search_phrase("new york", limit=10, page=1)["total_hits"] == 2
+
+    updates = spark.createDataFrame(
+        [
+            ("u1", "now i contain new york too", "en"),   # gains the phrase
+            ("u2", "york new flipped", "en"),             # loses the phrase
+            ("u9", "fresh page with new york inside", "en"),  # new doc
+        ],
+        "url string, text string, lang string",
+    )
+    apply_upsert(spark, idx, pages, updates)
+    eng2 = SearchEngine(spark, idx)
+    res = eng2.search_phrase("new york", limit=10, page=1)
+    docs = spark.read.parquet(os.path.join(idx, "docs")).collect()
+    url_of = {r["doc_id"]: r["url"] for r in docs}
+    assert sorted(url_of[d] for d, _ in res["results"]) == ["u0", "u1", "u9"]
+    assert res["total_hits"] == 3
