@@ -563,6 +563,22 @@ class SearchEngine:
         branches: list[list[str]],
     ) -> DataFrame:
         """(doc_id, score double) for docs matching some branch."""
+        all_terms = {t for b in branches for t in b}
+        if len(all_terms) == 1:
+            # single-term query (round-4): a doc holds exactly ONE
+            # posting of a term (salted sub-rows cover disjoint doc
+            # ranges), so the per-doc aggregate is the identity and the
+            # branch predicate is trivially true — drop the groupBy
+            # SHUFFLE entirely; the fused count+top-k then runs as one
+            # narrow single-stage job. Covers the stopword/hot-term
+            # serving pattern, the dominant interactive case.
+            per = postings.withColumn(
+                "score_fx",
+                contrib_fx(self._idf_expr(idf)[F.col("term")], F.col("wf")),
+            )
+            return per.select(
+                "doc_id", (F.col("score_fx") / F.lit(SCORE_SCALE)).alias("score")
+            )
         per_term = postings.withColumn(
             "w_fx", contrib_fx(self._idf_expr(idf)[F.col("term")], F.col("wf"))
         )

@@ -107,6 +107,9 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_DOCS"] = str(n_docs)
+    # this harness interleaves its own reps and min-merges; one suite
+    # pass per leg (bench.py's internal min-of-3 is for standalone runs)
+    env["SPARK_GRAFT_BENCH_REPS"] = "1"
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")  # 48g G1 heap measured 2.7x SLOWER at 16 threads (huge-young-gen first-touch)
     env.setdefault("SPARK_GRAFT_WORKDIR", "/dev/shm/mse")
     s0, t0 = _read_steal()
@@ -200,6 +203,16 @@ leg, per-metric minimum (noise-robust — see substrate note).
 
 Corpus: deterministic synthetic `pages` (FIXTURES.md §1), n={n_docs:,} docs.
 
+**Run-condition disclosure (ADVICE r3):** since round 3, every SPARK leg
+runs one untimed 5k-doc warmup build before its timed work, absorbing
+the fresh JVM's one-off whole-stage-codegen + JIT + Python-worker
+spin-up (~40-60 s) that a long-lived cluster never pays per job. The
+no-Spark substrate control has no JVM and therefore NO equivalent
+warmup — so part of the round-2 -> round-3 normalized-efficiency gain
+(0.74 -> 0.93 for the build) was this methodology change, not engine
+scaling alone; compare round >= 3 numbers with each other only.
+Within round 3+ both Spark legs are warmed identically.
+
 | metric | local[{N_SMALL}] | local[{N_BIG}] | speedup | efficiency | substrate-normalized |
 |---|---|---|---|---|---|
 | index build (s) | {r4['queries']['index_build']:.1f} | {r16['queries']['index_build']:.1f} | {build_spd:.2f}x | {build_spd / 4:.2f} | **{build_spd / ctl_spd:.2f}** |
@@ -232,6 +245,14 @@ Raw JSON: BENCH/scaling_c{N_SMALL}.json, BENCH/scaling_c{N_BIG}.json
 * Both runs build the full index (tokenize -> stats -> salted
   segments), then run the 100-query batched BM25 evaluation and 5
   single-query latencies, then pipeline ops (MinHash-LSH dedup, ANN).
+* Round-4 changes vs round 3: search_batch computes totals + top-k in
+  ONE fused pass over the candidate set (round 3 scanned a persisted
+  candidate set twice and eagerly checkpointed the full joined output
+  — the r2->r3 batch100 regression); single-query WAND engages
+  adaptively above a decode-volume floor; MinHash verify join bounded
+  to candidate docs; upserts stage-then-swap under a crash-recovery
+  journal; optional positional stream + phrase matching; serving-mode
+  decoded-postings cache (q_p50_preload leg).
 * Round-3 changes vs round 2: S1 tokenize is Arrow-native (RE2
   split + dictionary-encode + np.unique; no per-doc Python
   findall/Counter — round 2's build-scaling bottleneck), WAND block
