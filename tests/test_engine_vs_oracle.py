@@ -163,3 +163,31 @@ def test_phrase_search_matches_bruteforce(spark, tiny_pages_pdf, tmp_path_factor
         exp_scores = sorted(round(s, 9) for _, s in exp[:10])
         assert got_scores == exp_scores, qtext
         assert {u for u, _ in got_set} <= {u for u, _ in exp}, qtext
+
+
+def test_phrase_search_cjk_bigrams(spark, tmp_path):
+    """CJK phrase via bigram positions: expand_cjk_token emits
+    overlapping bigrams in position order, so adjacency of consecutive
+    bigrams == exact substring containment of the CJK run."""
+    from micce_search_engine_spark.operators.index_build import build_index
+
+    rows = [
+        ("j0", "東京タワー に 行く", "ja"),      # contains 東京
+        ("j1", "京東 は 逆", "ja"),              # reversed -> no
+        ("j2", "東 と 京 は 別の語", "ja"),      # separated -> no
+        ("j3", "大東京圏 の 話", "ja"),          # contains 東京 inside a longer run
+        ("j4", "nothing here", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string, lang string")
+    idx = str(tmp_path / "cjkidx")
+    build_index(
+        spark, pages, idx, n_buckets=4, max_postings_per_row=10**9,
+        with_positions=True,
+    )
+    eng = SearchEngine(spark, idx)
+    res = eng.search_phrase("東京", limit=10, page=1)
+    import os
+
+    docs = spark.read.parquet(os.path.join(idx, "docs")).collect()
+    url_of = {r["doc_id"]: r["url"] for r in docs}
+    assert sorted(url_of[d] for d, _ in res["results"]) == ["j0", "j3"], res

@@ -44,7 +44,10 @@ def main() -> None:
     idx = "/tmp/mse_plans_idx"
     shutil.rmtree(idx, ignore_errors=True)
     pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
-    build_index(spark, pages, idx, n_buckets=8, max_postings_per_row=5000)
+    build_index(
+        spark, pages, idx, n_buckets=8, max_postings_per_row=5000,
+        with_positions=True,
+    )
     syn = dict(gen_synonyms())
     eng = SearchEngine(spark, idx, synonyms=syn)
 
@@ -65,6 +68,68 @@ def main() -> None:
             explain(single),
         )
     )
+
+    # single-TERM query: no aggregate, no shuffle (round-4)
+    idf1 = eng.idf_map(["the"])
+    sections.append(
+        (
+            "Single-TERM query (round-4: shuffle-free)",
+            "Look for: NO Exchange anywhere — a doc holds exactly one posting "
+            "of a term, so scoring is a Project over the decode; the fused "
+            "count+top-k then runs as one narrow stage.",
+            explain(eng._scored(eng._postings(["the"], mode="score"), idf1, [["the"]])),
+        )
+    )
+
+    # phrase adjacency plan (round-4): positional decode + slot aggregate
+    from pyspark.sql import functions as F
+
+    qtoks = ["the", "of"]
+    dec = eng._postings(sorted(set(qtoks)), mode="score_pos")
+    slots = None
+    for i, t in enumerate(qtoks):
+        b = (
+            dec.filter(F.col("term") == t)
+            .select("doc_id", F.explode("positions").alias("pos"))
+            .select("doc_id", (F.col("pos") - F.lit(i)).alias("p0"))
+            .filter(F.col("p0") >= 0)
+        )
+        slots = b if slots is None else slots.unionByName(b)
+    phrase_docs = (
+        slots.groupBy("doc_id", "p0")
+        .agg(F.count(F.lit(1)).alias("nslots"))
+        .filter(F.col("nslots") == len(qtoks))
+        .select("doc_id")
+        .distinct()
+    )
+    sections.append(
+        (
+            "Phrase adjacency (round-4: positional 5th stream)",
+            "Look for: ReadSchema now includes pos_blob/block_pos_off (ONLY "
+            "here — other modes prune them away); slot aggregate is a plain "
+            "partial count HashAggregate (map-side combinable), no "
+            "countDistinct, no window.",
+            explain(phrase_docs),
+        )
+    )
+
+    # serving mode: decoded-postings cache (round-4)
+    srv = SearchEngine(spark, idx, synonyms=syn, preload="decoded")
+    sections.append(
+        (
+            "Serving-mode decoded cache (round-4: preload='decoded')",
+            "Look for: InMemoryTableScan (no parquet, no MapInArrow) with the "
+            "term filter applied against the cached columnar batches; wf "
+            "recomputed as Column math.",
+            explain(
+                srv._scored(
+                    srv._postings(["the"], mode="score"), idf1, [["the"]]
+                )
+            ),
+        )
+    )
+    srv._decoded_cached.unpersist()
+    srv._segments_cached.unpersist()
 
     # batched plan
     specs = [
