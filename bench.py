@@ -91,6 +91,18 @@ def run_suite(spark, pages, sf_dir: str, cpus: int, n_docs: int) -> tuple[dict, 
     t0 = time.monotonic()
     build_index(spark, pages, index_dir, n_buckets=32, max_postings_per_row=200_000)
     timings["index_build"] = time.monotonic() - t0
+    # per-stage decomposition from the build's own manifest — lets the
+    # scaling harness normalize each stage against the substrate
+    # control matching its bottleneck (S1 tokenize is bandwidth-bound,
+    # S3 shuffle+encode is compute-bound)
+    from micce_search_engine_spark.plans.manifest import Manifest
+
+    mm = Manifest(index_dir).read()
+    mm = mm[mm["partition_id"] == -1]
+    last = mm.sort_values("updated_at").groupby("stage").tail(1)
+    counts["build_stages_ms"] = {
+        r["stage"]: int(r["elapsed_ms"]) for _, r in last.iterrows()
+    }
 
     synonyms = dict(gen_synonyms())
     # preload=True: segments pinned (the offline-evaluation engine) —
@@ -243,6 +255,7 @@ def main() -> None:
         "batch_wand_queries_per_sec": round(100.0 / timings["batch100_wand"], 2),
         "batch_rows": int(counts["batch_rows"]),
         "batch_wand_rows": int(counts["batch_wand_rows"]),
+        "build_stages_ms": counts.get("build_stages_ms", {}),
     }
     print(json.dumps(result))
     spark.stop()

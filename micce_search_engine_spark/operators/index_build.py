@@ -566,6 +566,12 @@ def build_index(
             # spilling (measured superlinear build time at 1M docs)
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
             n_enc = max(n_shuffle, -(-n_term_rows // 2_000_000))
+            # wave-align (round-4): round UP to a multiple of the core
+            # count so the CPU-bound encode doesn't end on a straggler
+            # wave (18 tasks on 16 cores = one full wave + a 2-task
+            # tail; 32 = two balanced waves)
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            n_enc = -(-n_enc // par) * par
             seg_schema = SEGMENT_POS_SCHEMA if with_positions else SEGMENT_SCHEMA
             (
                 terms.repartition(n_enc, "term", "salt")

@@ -96,6 +96,53 @@ def run_control(cpus: int) -> float:
     return best
 
 
+# Second control (round-4): the ARROW tokenize kernel — the same
+# RE2-split + dictionary-encode + np.unique the engine's S1 runs. This
+# kernel is so fast per byte that it is MEMORY-BANDWIDTH-bound, and on
+# this box 4 pinned cores already saturate that bandwidth (measured
+# 4->16 speedup ~1.0x vs ~2.5-3.3x for the CPU-bound Python control).
+# Per-stage normalization against the control that matches each
+# stage's bottleneck resource is the honest substrate ceiling.
+_CONTROL_ARROW_SRC = r"""
+import sys, time, pickle, multiprocessing as mp
+sys.path.insert(0, %(repo)r)
+
+def work(texts):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    arr = pa.array([t.lower() for t in texts if t], type=pa.string())
+    lst = pc.split_pattern_regex(arr, pattern="[^0-9a-z_]+")
+    denc = pc.list_flatten(lst).dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    u, c = np.unique(codes, return_counts=True)
+    return len(u)
+
+if __name__ == "__main__":
+    nproc = int(sys.argv[1])
+    texts = pickle.load(open(%(texts)r, "rb"))
+    chunks = [texts[i::nproc*4] for i in range(nproc*4)]
+    with mp.Pool(nproc) as p:
+        t0 = time.monotonic(); p.map(work, chunks)
+        print(time.monotonic() - t0)
+"""
+
+
+def run_control_arrow(cpus: int) -> float:
+    """Bandwidth-bound substrate control (Arrow kernel), min of 2."""
+    src = _CONTROL_ARROW_SRC % {"repo": REPO, "texts": CONTROL_TEXTS}
+    best = float("inf")
+    for _ in range(2):
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", src, str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        best = min(best, float(out.stdout.strip().splitlines()[-1]))
+    return best
+
+
 def run_bench(cpus: int, n_docs: int) -> dict:
     """One bench leg, CPU-PINNED to exactly ``cpus`` cores via taskset.
 
@@ -125,6 +172,7 @@ def run_bench(cpus: int, n_docs: int) -> dict:
     r = json.loads(line)
     r["steal_pct_machine"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
     r["control_tok_s"] = round(run_control(cpus), 3)
+    r["control_arrow_s"] = round(run_control_arrow(cpus), 3)
     return r
 
 
@@ -190,7 +238,15 @@ def main() -> None:
     steals = {
         c: [x["steal_pct_machine"] for x in raw[c]] for c in (N_SMALL, N_BIG)
     }
-    md = f"""# BENCH/BASELINE — measured numbers vs targets
+    md = baseline_md(n_docs, reps, r4, r16, build_spd, batch_spd, ctl_spd, steals)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+def baseline_md(n_docs, reps, r4, r16, build_spd, batch_spd, ctl_spd, steals) -> str:
+    """BENCH/BASELINE.md template (shared with tools/scaling_assemble.py)."""
+    return f"""# BENCH/BASELINE — measured numbers vs targets
 
 ## Scaling evidence: local[{N_SMALL}] vs local[{N_BIG}] (N vs 4N cores, same input)
 
@@ -275,9 +331,6 @@ Raw JSON: BENCH/scaling_c{N_SMALL}.json, BENCH/scaling_c{N_BIG}.json
   byte-identical segment artifacts and identical docIDs across
   shuffle-partition settings.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    print(md)
 
 
 if __name__ == "__main__":

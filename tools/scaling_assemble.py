@@ -1,0 +1,187 @@
+"""Assemble BENCH/scaling_c{N}.json + BENCH/BASELINE.md from a raw
+per-leg JSONL produced by tools/scaling_leg.py. Usage:
+  python tools/scaling_assemble.py <raw.jsonl> <n_docs> [tag]
+
+Round-4 methodology additions:
+  * TWO substrate controls per leg: the CPU-bound Python tokenize
+    (control_tok_s — r2/r3 methodology) and the BANDWIDTH-bound Arrow
+    tokenize kernel (control_arrow_s) — the same RE2-split +
+    dictionary-encode + np.unique S1 actually runs. On this box 4
+    pinned cores already saturate memory bandwidth for the Arrow
+    kernel (4->16 speedup ~1.0x), while the Python control scales
+    ~2.4-3.3x — one scalar control cannot bound both stage classes.
+  * per-stage decomposition from the build manifest
+    (bench.py build_stages_ms) and a KERNEL-MATCHED ceiling: predicted
+    T16 = S1_4/arrow_spd + (S2_4+S3_4)/cpu_spd + fixed_4; the engine's
+    substrate-matched efficiency is (actual build speedup) /
+    (ceiling speedup). >= 1.0 means the build scales as well as this
+    machine's own kernels allow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import bench_scaling as BS  # noqa: E402
+
+
+def _min_leg(runs: list[dict]) -> dict:
+    """The single run with the fastest index_build (coherent stage
+    decomposition), used for per-stage analysis."""
+    return min(runs, key=lambda r: r["queries"]["index_build"])
+
+
+def main() -> None:
+    raw_path, n_docs = sys.argv[1], int(sys.argv[2])
+    tag = sys.argv[3] if len(sys.argv) > 3 else ""
+    raw: dict[int, list[dict]] = {BS.N_SMALL: [], BS.N_BIG: []}
+    with open(raw_path) as f:
+        for line in f:
+            r = json.loads(line)
+            raw[int(r["leg_cpus"])].append(r)
+    reps = min(len(v) for v in raw.values())
+    results = {c: BS._min_merge(rs) for c, rs in raw.items()}
+    for c, r in results.items():
+        r["control_arrow_s"] = min(x["control_arrow_s"] for x in raw[c] if "control_arrow_s" in x)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    for cpus, r in results.items():
+        with open(os.path.join(REPO, "BENCH", f"scaling_c{cpus}{tag}.json"), "w") as f:
+            json.dump({"best": r, "runs": raw[cpus]}, f, indent=2)
+    r4, r16 = results[BS.N_SMALL], results[BS.N_BIG]
+
+    def spd(key):
+        return r4["queries"][key] / r16["queries"][key]
+
+    cpu_spd = r4["control_tok_s"] / r16["control_tok_s"]
+    arrow_spd = r4["control_arrow_s"] / r16["control_arrow_s"]
+    build_spd, batch_spd = spd("index_build"), spd("batch100")
+
+    # kernel-matched ceiling from the fastest-build legs' stage split
+    m4, m16 = _min_leg(raw[BS.N_SMALL]), _min_leg(raw[BS.N_BIG])
+    s4 = {k: v / 1000.0 for k, v in m4.get("build_stages_ms", {}).items()}
+    s16 = {k: v / 1000.0 for k, v in m16.get("build_stages_ms", {}).items()}
+    b4 = m4["queries"]["index_build"]
+    b16 = m16["queries"]["index_build"]
+    fixed4 = max(b4 - sum(s4.values()), 0.0)
+    ceil16 = (
+        s4.get("S1_tokenize", 0.0) / arrow_spd
+        + (s4.get("S2_stats", 0.0) + s4.get("S3_segments", 0.0)) / cpu_spd
+        + fixed4
+    )
+    ceil_spd = b4 / ceil16 if ceil16 else float("nan")
+    matched_eff = (b4 / b16) / ceil_spd if ceil_spd else float("nan")
+
+    summary = {
+        "build_speedup": round(build_spd, 3),
+        "build_eff_cpu_norm": round(build_spd / cpu_spd, 3),
+        "build_ceiling_speedup": round(ceil_spd, 3),
+        "build_substrate_matched_eff": round(matched_eff, 3),
+        "batch_speedup": round(batch_spd, 3),
+        "batch_eff_cpu_norm": round(batch_spd / cpu_spd, 3),
+        "cpu_control_speedup": round(cpu_spd, 3),
+        "arrow_control_speedup": round(arrow_spd, 3),
+        "q_p50_c16": r16["queries"]["q_p50"],
+        "q_p50_preload_c16": r16["queries"].get("q_p50_preload"),
+    }
+    if tag:
+        print(json.dumps({"tag": tag, "n_docs": n_docs, **summary}))
+        return
+
+    steals = {c: [x["steal_pct_machine"] for x in raw[c]] for c in (BS.N_SMALL, BS.N_BIG)}
+    md = f"""# BENCH/BASELINE — measured numbers vs targets (round 4)
+
+## Scaling evidence: local[{BS.N_SMALL}] vs local[{BS.N_BIG}] (N vs 4N cores, same input)
+
+Per the driver instruction, the north_rule's ">=0.8 throughput scaling
+efficiency from N to 4N executors" is evidenced in-sandbox by running
+the identical suite (bench.py) on the identical input at two
+parallelism levels, fresh JVM each, **CPU-pinned with taskset** to
+exactly {BS.N_SMALL} / {BS.N_BIG} cores. {reps} interleaved repetitions per
+leg, per-metric minimum (noise-robust — see substrate note).
+
+Corpus: deterministic synthetic `pages` (FIXTURES.md §1), n={n_docs:,} docs.
+
+**Run-condition disclosure (ADVICE r3):** every SPARK leg runs one
+untimed 5k-doc warmup build first, absorbing the fresh JVM's one-off
+codegen/JIT/worker spin-up (~40-60 s) that a long-lived cluster never
+pays per job. The no-Spark controls have no JVM and no equivalent
+warmup; cross-round comparisons are valid for round >= 3 only.
+
+| metric | local[{BS.N_SMALL}] | local[{BS.N_BIG}] | speedup | efficiency | cpu-ctl normalized |
+|---|---|---|---|---|---|
+| index build (s) | {r4['queries']['index_build']:.1f} | {r16['queries']['index_build']:.1f} | {build_spd:.2f}x | {build_spd / 4:.2f} | {build_spd / cpu_spd:.2f} |
+| index throughput (docs/s) | {r4['docs_per_sec']:,.0f} | {r16['docs_per_sec']:,.0f} | | | |
+| batch 100-query BM25 (s) | {r4['queries']['batch100']:.1f} | {r16['queries']['batch100']:.1f} | {batch_spd:.2f}x | {batch_spd / 4:.2f} | **{batch_spd / cpu_spd:.2f}** |
+| batch throughput (q/s) | {r4['batch_queries_per_sec']:.2f} | {r16['batch_queries_per_sec']:.2f} | | | |
+| single-query p50 (s) | {r4['queries']['q_p50']:.2f} | {r16['queries']['q_p50']:.2f} | | (latency, not throughput) | |
+| single-query p50, serving preload (s) | {r4['queries'].get('q_p50_preload', float('nan')):.2f} | {r16['queries'].get('q_p50_preload', float('nan')):.2f} | | (latency) | |
+| **cpu control** (mp Python tokenize, no Spark) | {r4['control_tok_s']:.2f} | {r16['control_tok_s']:.2f} | {cpu_spd:.2f}x | {cpu_spd / 4:.2f} | 1.00 by construction |
+| **bandwidth control** (mp ARROW tokenize, no Spark) | {r4['control_arrow_s']:.2f} | {r16['control_arrow_s']:.2f} | {arrow_spd:.2f}x | {arrow_spd / 4:.2f} | (see below) |
+
+## Build scaling: per-stage decomposition + kernel-matched substrate ceiling
+
+Round 3 made S1 tokenize Arrow-native (~3x faster absolute). The Arrow
+kernel is so fast per byte that it is MEMORY-BANDWIDTH-bound, and this
+box's bandwidth does NOT grow 4 -> 16 pinned cores: the no-Spark Arrow
+control measures **{arrow_spd:.2f}x** (vs {cpu_spd:.2f}x for the CPU-bound
+Python control). One scalar control cannot bound both stage classes,
+so the build ceiling is computed per stage from the fastest legs:
+
+| stage | local[{BS.N_SMALL}] (s) | local[{BS.N_BIG}] (s) | speedup | matching control | ceiling |
+|---|---|---|---|---|---|
+| S1 tokenize (bandwidth-bound) | {s4.get('S1_tokenize', 0):.1f} | {s16.get('S1_tokenize', 0):.1f} | {s4.get('S1_tokenize', 0) / max(s16.get('S1_tokenize', 1e-9), 1e-9):.2f}x | Arrow mp control | {arrow_spd:.2f}x |
+| S2 stats | {s4.get('S2_stats', 0):.1f} | {s16.get('S2_stats', 0):.1f} | {s4.get('S2_stats', 0) / max(s16.get('S2_stats', 1e-9), 1e-9):.2f}x | CPU mp control | {cpu_spd:.2f}x |
+| S3 segments (shuffle+encode, compute-bound) | {s4.get('S3_segments', 0):.1f} | {s16.get('S3_segments', 0):.1f} | {s4.get('S3_segments', 0) / max(s16.get('S3_segments', 1e-9), 1e-9):.2f}x | CPU mp control | {cpu_spd:.2f}x |
+| fixed (collects, commits, id-map jobs) | {fixed4:.1f} | — | ~1x by nature | — | 1.00x |
+
+Predicted substrate-ceiling build time at local[{BS.N_BIG}]
+= S1/{arrow_spd:.2f} + (S2+S3)/{cpu_spd:.2f} + fixed = **{ceil16:.1f} s**
+(ceiling speedup {ceil_spd:.2f}x). Measured: **{b16:.1f} s** ({b4 / b16:.2f}x) —
+**substrate-matched efficiency {matched_eff:.2f}** (>= 1.0 means the build
+scales as well as this machine's own kernels allow; on real
+distinct-host executors each node brings its own memory bandwidth, so
+the Arrow ceiling is ~4x there and this distinction vanishes).
+
+## Substrate note (why normalization is the honest number)
+
+This sandbox VM is hosted with visible CPU steal (bursts up to ~25% of
+pinned cores; per-leg machine-wide steal this run:
+local[{BS.N_SMALL}] {steals[BS.N_SMALL]}%, local[{BS.N_BIG}] {steals[BS.N_BIG]}%) and
+run-to-run variance up to 5x, and its upper cores share memory
+bandwidth. No engine can out-scale its substrate: the engine's scaling
+quality is (engine speedup) / (matching control speedup). Raw JSON:
+BENCH/scaling_c{BS.N_SMALL}.json, BENCH/scaling_c{BS.N_BIG}.json (per-rep runs +
+steal + both controls + per-stage build decomposition).
+
+## Notes
+
+* Both runs build the full index (tokenize -> stats -> salted
+  segments), then run the 100-query batched BM25 evaluation, single
+  query latencies (cold engine and serving preload), then pipeline ops
+  (MinHash-LSH dedup, ANN).
+* Round-4 changes vs round 3: search_batch computes totals + top-k in
+  ONE fused pass (round 3 scanned a persisted candidate set twice and
+  checkpointed the full output — the r2->r3 batch100 regression, now
+  recovered); single-query WAND engages adaptively; single-TERM
+  queries drop their groupBy shuffle; MinHash verify join bounded to
+  candidate docs; upserts journaled (crash-recoverable); optional
+  positional stream + phrase matching; serving-mode decoded cache
+  (q_p50_preload); encode stage wave-aligned to the core count.
+* Correctness at both parallelism levels is asserted separately:
+  tests/test_build_pipeline.py::test_parallelism_invariance proves
+  byte-identical segment artifacts and identical docIDs across
+  shuffle-partition settings; CORRECTNESS entries are oracle-checked
+  at sf0.01 per round (43/43 green in round 4's pre-check).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
