@@ -128,6 +128,19 @@ def run_suite(spark, pages, sf_dir: str, cpus: int, n_docs: int) -> tuple[dict, 
     counts["batch_wand_rows"] = search_batch_topk(eng, specs).count()
     timings["batch100_wand"] = time.monotonic() - t0
 
+    # SPARK_GRAFT_BENCH_ONLY: comma-set of optional leg groups to run
+    # ("singles,wand,preload,pipeline"); empty/unset = all. Build +
+    # batch legs always run (the headline metrics). Lets a big-corpus
+    # scaling leg fit a bounded time slice.
+    only = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s
+    }
+
+    def _want(group: str) -> bool:
+        return not only or group in only
+
     single_qs = {
         "q_stopword": ("the", None),
         "q_hot_term": ("w000000", None),
@@ -135,62 +148,66 @@ def run_suite(spark, pages, sf_dir: str, cpus: int, n_docs: int) -> tuple[dict, 
         "q_synonym": ("alias0", None),
         "q_lang": ("w000002", "ja"),
     }
-    lat = []
-    for name, (qt, lf) in single_qs.items():
+    if _want("singles"):
+        lat = []
+        for name, (qt, lf) in single_qs.items():
+            t0 = time.monotonic()
+            eng.search(qt, lang_filter=lf, limit=10, page=1)
+            timings[name] = time.monotonic() - t0
+            lat.append(timings[name])
+        timings["q_p50"] = statistics.median(lat)
+
+    if _want("wand"):
         t0 = time.monotonic()
-        eng.search(qt, lang_filter=lf, limit=10, page=1)
-        timings[name] = time.monotonic() - t0
-        lat.append(timings[name])
-    timings["q_p50"] = statistics.median(lat)
+        eng.search("the", limit=10, page=1, topk_only=True)
+        timings["q_wand_stopword"] = time.monotonic() - t0
 
-    t0 = time.monotonic()
-    eng.search("the", limit=10, page=1, topk_only=True)
-    timings["q_wand_stopword"] = time.monotonic() - t0
-
-    t0 = time.monotonic()
-    eng.search("the w000001", limit=10, page=1, topk_only=True)
-    timings["q_wand_and2"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        eng.search("the w000001", limit=10, page=1, topk_only=True)
+        timings["q_wand_and2"] = time.monotonic() - t0
 
     # serving tier (round-4): preload="decoded" pins the decoded
     # postings term-clustered in executor memory (the Vespa
     # index-in-RAM analog). Cache build is part of OPENING the serving
     # engine, reported separately; the q_p50_preload leg measures the
     # steady-state query path.
-    t0 = time.monotonic()
-    eng_srv = SearchEngine(spark, index_dir, synonyms=synonyms, preload="decoded")
-    timings["preload_open"] = time.monotonic() - t0
-    lat_srv = []
-    for name, (qt, lf) in single_qs.items():
+    if _want("preload"):
         t0 = time.monotonic()
-        eng_srv.search(qt, lang_filter=lf, limit=10, page=1)
-        lat_srv.append(time.monotonic() - t0)
-    timings["q_p50_preload"] = statistics.median(lat_srv)
-    eng_srv._decoded_cached.unpersist()
-    eng_srv._segments_cached.unpersist()
-    eng_srv._term_stats.unpersist()
+        eng_srv = SearchEngine(spark, index_dir, synonyms=synonyms, preload="decoded")
+        timings["preload_open"] = time.monotonic() - t0
+        lat_srv = []
+        for name, (qt, lf) in single_qs.items():
+            t0 = time.monotonic()
+            eng_srv.search(qt, lang_filter=lf, limit=10, page=1)
+            lat_srv.append(time.monotonic() - t0)
+        timings["q_p50_preload"] = statistics.median(lat_srv)
+        eng_srv._decoded_cached.unpersist()
+        eng_srv._segments_cached.unpersist()
+        eng_srv._term_stats.unpersist()
     eng._segments_cached.unpersist()
     eng._term_stats.unpersist()
 
-    # pipeline ops on the driver-provided sf tables
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    t0 = time.monotonic()
-    minhash_lsh_pairs(docs, threshold=0.5).count()
-    timings["minhash_lsh"] = time.monotonic() - t0
+    if _want("pipeline"):
+        # pipeline ops on the driver-provided sf tables
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        t0 = time.monotonic()
+        minhash_lsh_pairs(docs, threshold=0.5).count()
+        timings["minhash_lsh"] = time.monotonic() - t0
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    t0 = time.monotonic()
-    brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10).collect()
-    timings["ann_topk"] = time.monotonic() - t0
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        t0 = time.monotonic()
+        brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10).collect()
+        timings["ann_topk"] = time.monotonic() - t0
 
-    # scale path: persisted LSH index, partition-pruned probe scan
-    dim = len(qv)
-    ann_dir = f"{WORKDIR}/mse_bench_ann"
-    shutil.rmtree(ann_dir, ignore_errors=True)
-    build_ann_index(emb.filter(F.col("vec_id") != 0), ann_dir, dim=dim)
-    t0 = time.monotonic()
-    lsh_topk_indexed(spark, ann_dir, qv, k=10).collect()
-    timings["ann_topk_indexed"] = time.monotonic() - t0
+        # scale path: persisted LSH index, partition-pruned probe scan
+        dim = len(qv)
+        ann_dir = f"{WORKDIR}/mse_bench_ann"
+        shutil.rmtree(ann_dir, ignore_errors=True)
+        build_ann_index(emb.filter(F.col("vec_id") != 0), ann_dir, dim=dim)
+        t0 = time.monotonic()
+        lsh_topk_indexed(spark, ann_dir, qv, k=10).collect()
+        timings["ann_topk_indexed"] = time.monotonic() - t0
     return timings, counts
 
 

@@ -85,7 +85,7 @@ def main() -> None:
         "batch_eff_cpu_norm": round(batch_spd / cpu_spd, 3),
         "cpu_control_speedup": round(cpu_spd, 3),
         "arrow_control_speedup": round(arrow_spd, 3),
-        "q_p50_c16": r16["queries"]["q_p50"],
+        "q_p50_c16": r16["queries"].get("q_p50"),
         "q_p50_preload_c16": r16["queries"].get("q_p50_preload"),
     }
     if tag:
