@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True, help="index output dir")
     b.add_argument("--n-buckets", type=int, default=64)
     b.add_argument("--max-postings-per-row", type=int, default=200_000)
+    b.add_argument(
+        "--with-positions",
+        action="store_true",
+        help="store per-posting token positions (enables phrase search)",
+    )
 
     u = sub.add_parser("upsert", help="merge updates + delta-rebuild")
     u.add_argument("--pages", required=True)
@@ -45,6 +50,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--page", type=int, default=1)
     s.add_argument("--topk-only", action="store_true")
+    s.add_argument(
+        "--phrase",
+        action="store_true",
+        help="exact phrase match (requires an index built --with-positions)",
+    )
+    s.add_argument(
+        "--preload",
+        choices=["none", "segments", "decoded"],
+        default="none",
+        help="serving mode: pin segments or fully decoded postings in memory",
+    )
     s.add_argument("--synonyms", default=None, help="2-column CSV path")
 
     args = p.parse_args(argv)
@@ -64,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.index,
                 n_buckets=args.n_buckets,
                 max_postings_per_row=args.max_postings_per_row,
+                with_positions=args.with_positions,
             )
             print(json.dumps({"status": "ok", "index": args.index}))
         elif args.cmd == "upsert":
@@ -84,14 +101,25 @@ def main(argv: list[str] | None = None) -> int:
                 from micce_search_engine_spark.sources.synonyms import load_synonyms_csv
 
                 synonyms = load_synonyms_csv(spark, args.synonyms)
-            eng = SearchEngine(spark, args.index, synonyms=synonyms)
-            res = eng.search(
-                args.query,
-                lang_filter=args.lang,
-                limit=args.limit,
-                page=args.page,
-                topk_only=args.topk_only,
-            )
+            preload = {"none": False, "segments": True, "decoded": "decoded"}[
+                args.preload
+            ]
+            eng = SearchEngine(spark, args.index, synonyms=synonyms, preload=preload)
+            if args.phrase:
+                res = eng.search_phrase(
+                    args.query,
+                    lang_filter=args.lang,
+                    limit=args.limit,
+                    page=args.page,
+                )
+            else:
+                res = eng.search(
+                    args.query,
+                    lang_filter=args.lang,
+                    limit=args.limit,
+                    page=args.page,
+                    topk_only=args.topk_only,
+                )
             print(json.dumps(res))
         return 0
     finally:
