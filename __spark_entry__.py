@@ -178,12 +178,25 @@ dl AS (
   LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) x USING (doc_id)
 )"""
 
-_SHINGLES = """
+# token positions with DEFINED order (ADVICE r4, low): row_number() over
+# an unnest has no ORDER BY — row order there is a DuckDB implementation
+# detail, and adjacency-based oracles (phrase, shingles) are order-
+# SENSITIVE. generate_subscripts zipped with unnest emits the ordinal
+# straight from the split order, guaranteed by SQL semantics.
+_TOKS_POS = """
 toks_pos AS (
-  SELECT doc_id, row_number() OVER (PARTITION BY doc_id) - 1 AS pos, t.term
-  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
-  WHERE t.term <> ''
-),
+  SELECT doc_id,
+         generate_subscripts(parts, 1) - 1 AS pos,
+         unnest(parts) AS term
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS parts
+    FROM documents
+  )
+)"""
+
+_SHINGLES = f"""
+{_TOKS_POS.strip()},
 sh AS (
   SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
   FROM toks_pos a
@@ -1382,11 +1395,7 @@ WHERE r.rn > m.lim * (m.pg - 1) AND r.rn <= m.lim * m.pg"""
     )
     sqls["bm25_phrase"] = f"""
 WITH {_TOKS},
-toks_pos AS (
-  SELECT doc_id, row_number() OVER (PARTITION BY doc_id) - 1 AS pos, t.term
-  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
-  WHERE t.term <> ''
-),
+{_TOKS_POS.strip()},
 stats AS (
   SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
          (SELECT avg(dl) FROM dl) AS avgdl

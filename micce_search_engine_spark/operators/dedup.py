@@ -133,6 +133,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding, verified by exact
     n-gram Jaccard. Returns (doc_a, doc_b, jaccard).
@@ -200,7 +201,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
         .withColumn(
@@ -210,6 +211,16 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # materialize the (small) verified-pairs frame, then release the
+    # intermediate caches — repeated calls in a long-lived session were
+    # accumulating cand+sh in executor memory forever (ADVICE r4).
+    # ``materialize=False`` keeps the plan lazy (caches stay pinned; the
+    # caller owns their lifetime) — used by plan-shape tests.
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        cand.unpersist()
+        sh.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

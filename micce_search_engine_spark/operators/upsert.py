@@ -20,6 +20,8 @@ posting lists a rebuild must touch.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import shutil
@@ -79,10 +81,45 @@ def affected_terms(old: DataFrame, new: DataFrame, key: str = "url") -> DataFram
 
 
 _JOURNAL = "upsert_journal.json"
+_LOCKFILE = ".upsert.lock"
 
 
 def _journal_path(index_dir: str) -> str:
     return os.path.join(index_dir, _JOURNAL)
+
+
+@contextlib.contextmanager
+def _writer_lock(index_dir: str, blocking: bool = True):
+    """Advisory exclusive lock shared by apply_upsert and recover_upsert
+    (ADVICE r4, medium): without it, an engine OPEN racing a healthy
+    upsert's swap phase would re-execute the journaled swap list
+    concurrently and could rename a freshly-swapped partition aside and
+    lose it at finalize. flock is per open-file-description, so the
+    guard also works between two code paths of one process.
+
+    Yields True when the lock was acquired; with ``blocking=False``
+    yields False instead of waiting (the caller then skips — a live
+    writer owns the journal and will finish or be recovered later)."""
+    fd = os.open(os.path.join(index_dir, _LOCKFILE), os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB))
+        except BlockingIOError:
+            yield False
+            return
+        yield True
+    finally:
+        os.close(fd)  # releases the flock
+
+
+def _bak_path(dst: str) -> str:
+    """Backup location for a live dir during a swap: a DOT-PREFIXED
+    sibling so Spark's partition discovery never sees it (ADVICE r4,
+    medium: ``bucket=N.__old__`` inside segments/ was listed as a
+    partition during the swap window)."""
+    return os.path.join(
+        os.path.dirname(dst), "." + os.path.basename(dst) + ".__old__"
+    )
 
 
 def _apply_swaps(swaps: list[dict]) -> None:
@@ -95,7 +132,7 @@ def _apply_swaps(swaps: list[dict]) -> None:
     moved aside (deleted at finalize)."""
     for e in swaps:
         dst, src = e["dst"], e["src"]
-        bak = dst + ".__old__"
+        bak = _bak_path(dst)
         if src is not None:
             if not os.path.exists(src):
                 continue  # already swapped before the crash
@@ -110,7 +147,7 @@ def _apply_swaps(swaps: list[dict]) -> None:
 
 def _finalize_journal(index_dir: str, j: dict) -> None:
     for e in j["swaps"]:
-        shutil.rmtree(e["dst"] + ".__old__", ignore_errors=True)
+        shutil.rmtree(_bak_path(e["dst"]), ignore_errors=True)
     for t in j.get("tmp_roots", []):
         shutil.rmtree(t, ignore_errors=True)
     try:
@@ -126,9 +163,26 @@ def recover_upsert(index_dir: str) -> bool:
     the swap list (idempotent), rewriting meta.json from the journaled
     copy, and cleaning up. A crash BEFORE the journal exists left the
     live index untouched (only stale tmp dirs, swept by the next
-    upsert). Returns True when a pending journal was applied."""
+    upsert). Returns True when a pending journal was applied.
+
+    Guarded by the writer lock (ADVICE r4, medium): a journal present
+    while ANOTHER process/path is mid-swap belongs to a LIVE writer —
+    recovery must not re-execute its swap list concurrently. The lock
+    is taken non-blocking; busy means healthy-writer-in-flight, so
+    recovery is skipped (the writer finishes its own journal)."""
     jp = _journal_path(index_dir)
     if not os.path.exists(jp):
+        return False
+    with _writer_lock(index_dir, blocking=False) as acquired:
+        if not acquired:
+            return False
+        return _recover_locked(index_dir)
+
+
+def _recover_locked(index_dir: str) -> bool:
+    """Roll a pending journal forward. Caller MUST hold the writer lock."""
+    jp = _journal_path(index_dir)
+    if not os.path.exists(jp):  # finalized while we waited on stat+lock
         return False
     with open(jp) as f:
         j = json.load(f)
@@ -139,13 +193,28 @@ def recover_upsert(index_dir: str) -> bool:
     return True
 
 
+def _is_stale_tmp(name: str) -> bool:
+    return (
+        ".__patch_" in name
+        or ".__upd_" in name
+        or ".__old__" in name
+        or name == ".affected_terms.__tmp__"
+    )
+
+
 def _sweep_stale_tmp(index_dir: str) -> None:
     """Remove tmp dirs abandoned by a run that crashed before writing
     its journal (live tables were never touched, so this is pure GC).
-    Single-writer assumption: no other upsert is in flight."""
-    for name in os.listdir(index_dir):
-        if ".__patch_" in name or ".__upd_" in name or name == ".affected_terms.__tmp__":
-            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    Sweeps the index root AND one level inside segments/ (ADVICE r4,
+    medium: per-bucket overwrites stage next to their bucket dir).
+    Callers hold the writer lock: no other upsert is in flight."""
+    roots = [index_dir, os.path.join(index_dir, "segments")]
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            if _is_stale_tmp(name):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def _prepare_patch(
@@ -179,13 +248,39 @@ def _prepare_patch(
 def _prepare_overwrite(df: DataFrame, path: str) -> dict:
     """Stage a whole-table overwrite to tmp; swap happens at journal
     time. The tmp dir IS the swap src (renamed away), so no separate
-    tmp_root cleanup is needed."""
-    tmp = path + f".__upd_{uuid.uuid4().hex[:8]}__"
+    tmp_root cleanup is needed.
+
+    The tmp is a DOT-PREFIXED sibling (ADVICE r4, medium): per-bucket
+    segment overwrites stage INSIDE the live segments/ table, and a
+    crash-before-journal previously leaked ``bucket=N.__upd_x__`` dirs
+    that Spark partition discovery listed as partitions (and preload
+    engines, which read segments with no bucket filter, ingested as
+    duplicate postings). Names starting with '.' are invisible to
+    Spark's file listing."""
+    tmp = os.path.join(
+        os.path.dirname(path),
+        "." + os.path.basename(path) + f".__upd_{uuid.uuid4().hex[:8]}__",
+    )
     df.write.mode("overwrite").parquet(tmp)
     return {"dst": path, "src": tmp}
 
 
 def apply_upsert(
+    spark: SparkSession,
+    index_dir: str,
+    old_pages: DataFrame,
+    updates: DataFrame,
+) -> DataFrame:
+    """Omit-nil MERGE + affected-partition index delta rebuild (I4),
+    serialized by the index writer lock — held for the whole upsert so
+    a concurrent engine open's recovery can never interleave with the
+    swap phase (ADVICE r4, medium). See :func:`_apply_upsert_locked`
+    for the full protocol."""
+    with _writer_lock(index_dir, blocking=True):
+        return _apply_upsert_locked(spark, index_dir, old_pages, updates)
+
+
+def _apply_upsert_locked(
     spark: SparkSession,
     index_dir: str,
     old_pages: DataFrame,
@@ -248,8 +343,9 @@ def apply_upsert(
     # journal means some tables are new and some old — roll forward
     # (ADVICE r3: deltas applied across multiple swaps are not
     # replayable after a partial crash, so the protocol now stages
-    # everything first and swaps under a journal)
-    recover_upsert(index_dir)
+    # everything first and swaps under a journal). The caller holds
+    # the writer lock, so the locked recovery variant is used.
+    _recover_locked(index_dir)
     _sweep_stale_tmp(index_dir)
     with open(p.meta) as f:
         meta = json.load(f)
@@ -649,7 +745,7 @@ def _patch_partitions(
     for v in part_vals:
         src = os.path.join(tmp, f"{part_col}={v}")
         dst = os.path.join(table_path, f"{part_col}={v}")
-        old = dst + ".__old__"
+        old = _bak_path(dst)  # dot-prefixed: invisible to partition discovery
         shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(dst):
             os.rename(dst, old)
@@ -665,7 +761,7 @@ def _atomic_overwrite(df: DataFrame, path: str, partition_by: str | None = None)
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(tmp)
-    old = path + ".__old__"
+    old = _bak_path(path)
     # a crash between the two renames below leaves a stale __old__ dir;
     # clear it first or os.rename(path, old) raises and wedges upserts
     shutil.rmtree(old, ignore_errors=True)

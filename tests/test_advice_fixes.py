@@ -67,13 +67,15 @@ def test_upsert_inserts_null_text_url(spark, tmp_path):
 
 
 def test_atomic_overwrite_clears_stale_old_dir(spark, tmp_path):
+    from micce_search_engine_spark.operators.upsert import _bak_path
+
     path = str(tmp_path / "tbl")
     df = spark.createDataFrame([(1,)], "x long")
     _atomic_overwrite(df, path)
-    os.makedirs(path + ".__old__")  # simulate crash between the two renames
+    os.makedirs(_bak_path(path))  # simulate crash between the two renames
     _atomic_overwrite(spark.createDataFrame([(2,)], "x long"), path)
     assert [r["x"] for r in spark.read.parquet(path).collect()] == [2]
-    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(_bak_path(path))
 
 
 def test_manifest_latest_status_not_lexicographic(spark, tmp_path):
@@ -110,9 +112,10 @@ def test_minhash_hot_shingle_bounded(spark):
     rows.append((9001, "alpha beta gamma delta epsilon zeta eta theta"))
     rows.append((9002, "alpha beta gamma delta epsilon zeta eta theta"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = minhash_lsh_pairs(df, threshold=0.9)
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lazy = minhash_lsh_pairs(df, threshold=0.9, materialize=False)
+    plan = lazy._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LeftSemi") >= 2, plan
+    out = minhash_lsh_pairs(df, threshold=0.9)
     got = [(r["doc_a"], r["doc_b"], round(r["jaccard"], 6)) for r in out.collect()]
     assert got == [(9001, 9002, 1.0)]
 
@@ -165,3 +168,75 @@ def test_topk_count_marker_survives_negative_doc_ids(spark):
     total, top = _topk_and_count(cand, 10)
     assert total == 3
     assert [(r["doc_id"], r["score"]) for r in top] == [(-1, 5.0), (-2, 4.0), (3, 3.0)]
+
+
+def test_staged_segment_overwrite_is_hidden_and_swept(spark, tmp_path):
+    """ADVICE r4 (medium): a crash BEFORE the journal must not leak
+    staged per-bucket overwrites where Spark partition discovery (or a
+    preload engine's unfiltered segments read) can see them. Staged
+    dirs are dot-prefixed (invisible to Spark's listing) and the next
+    upsert's sweep removes them — including one level inside
+    segments/."""
+    import micce_search_engine_spark.operators.upsert as up
+    from micce_search_engine_spark.operators.query import SearchEngine
+
+    pdf = gen_pages(80, seed=71)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    idx = str(tmp_path / "idx_leak")
+    build_index(spark, pages, idx, n_buckets=2, max_postings_per_row=10**9)
+    eng = SearchEngine(spark, idx)
+    baseline = eng.search("the", limit=5, page=1)
+
+    # simulate crash-before-journal: stage a bucket overwrite, never swap
+    seg_bucket = os.path.join(idx, "segments", "bucket=0")
+    staged = up._prepare_overwrite(spark.read.parquet(seg_bucket), seg_bucket)
+    assert os.path.basename(staged["src"]).startswith("."), staged["src"]
+    # also simulate an interrupted swap's backup dir
+    os.makedirs(up._bak_path(os.path.join(idx, "segments", "bucket=1")))
+
+    # Spark must NOT see the staged copy as a partition: results unchanged
+    spark.catalog.refreshByPath(os.path.join(idx, "segments"))
+    eng2 = SearchEngine(spark, idx, preload=True)
+    again = eng2.search("the", limit=5, page=1)
+    assert again == baseline
+    eng2._segments_cached.unpersist()
+
+    # the sweep clears both leaked dirs (runs inside the next upsert)
+    up._sweep_stale_tmp(idx)
+    leftovers = [
+        n for n in os.listdir(os.path.join(idx, "segments")) if up._is_stale_tmp(n)
+    ]
+    assert leftovers == []
+
+
+def test_recover_skipped_while_writer_lock_held(spark, tmp_path):
+    """ADVICE r4 (medium): recovery must not re-execute a journal owned
+    by a LIVE writer. While the writer lock is held, recover_upsert is
+    a no-op; after release it rolls forward."""
+    import json
+
+    import micce_search_engine_spark.operators.upsert as up
+
+    pdf = gen_pages(60, seed=73)
+    pages = spark.createDataFrame(pdf, schema=pages_spark_schema())
+    idx = str(tmp_path / "idx_lock")
+    build_index(spark, pages, idx, n_buckets=2, max_postings_per_row=10**9)
+
+    # a journal that would (wrongly) re-run a swap: src exists, dst live
+    src = os.path.join(idx, ".probe_src")
+    dst = os.path.join(idx, "probe_dst")
+    os.makedirs(src)
+    with open(os.path.join(src, "x"), "w") as f:
+        f.write("1")
+    with open(os.path.join(idx, "meta.json")) as f:
+        meta = json.load(f)
+    journal = {"swaps": [{"dst": dst, "src": src}], "meta": meta, "tmp_roots": []}
+    with open(up._journal_path(idx), "w") as f:
+        json.dump(journal, f)
+
+    with up._writer_lock(idx) as ok:  # the "live writer"
+        assert ok
+        assert up.recover_upsert(idx) is False  # skipped: writer owns it
+        assert os.path.exists(up._journal_path(idx))
+    assert up.recover_upsert(idx) is True  # writer gone -> roll forward
+    assert os.path.exists(dst) and not os.path.exists(src)
