@@ -85,7 +85,7 @@ def _engine(spark: SparkSession, sf_dir: str):
     from micce_search_engine_spark.operators.query import SearchEngine
 
     tag = hashlib.sha1(key.encode()).hexdigest()[:10]
-    index_dir = os.path.join("/tmp", "mse_entry_idx_v4", tag)
+    index_dir = os.path.join("/tmp", "mse_entry_idx_v5", tag)
     build_index(
         spark,
         _docs_as_pages(spark, sf_dir),
@@ -144,7 +144,7 @@ def _mf_engine(spark: SparkSession, sf_dir: str):
     from micce_search_engine_spark.operators.query import SearchEngine
 
     tag = hashlib.sha1(key.encode()).hexdigest()[:10]
-    base = os.path.join("/tmp", "mse_entry_idx_v4", tag + "_mf")
+    base = os.path.join("/tmp", "mse_entry_idx_v5", tag + "_mf")
     pages = _docs_as_pages(spark, sf_dir).withColumn("title", F.expr(_TITLE_SPARK))
     idxs = build_field_indexes(
         spark,
@@ -154,6 +154,9 @@ def _mf_engine(spark: SparkSession, sf_dir: str):
         doc_id_col="doc_id",
         n_buckets=8,
         max_postings_per_row=2000,
+        # round-5: positional field indexes so multi-word keywords can
+        # phrase-match per field (bm25_phrase_multifield)
+        with_positions=True,
     )
     engines = {f: SearchEngine(spark, d, synonyms=SYNONYMS) for f, d in idxs.items()}
     ce = ConditionEngine(engines, attrs=_attrs(spark, sf_dir), synonyms=SYNONYMS)
@@ -339,7 +342,13 @@ def _q_bm25_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from micce_search_engine_spark.operators.batch_query import search_batch_topk
 
     eng = _engine(spark, sf_dir)
+    # force probe engagement: round-5 adaptive engagement would route
+    # every query to the exact path at sf0.01, and this entry certifies
+    # the PRUNED path (losslessness), mirroring bm25_wand_single
+    old = eng.wand_engage_factor
+    eng.wand_engage_factor = 0
     out = search_batch_topk(eng, QUERY_SPECS)
+    eng.wand_engage_factor = old
     return out.select(
         "query_id", "doc_id", "rank", F.round("score", 6).alias("score_r")
     )
@@ -352,12 +361,50 @@ def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 phrase matching (Vespa ``contains "multi word"`` =
     phrase on index fields, whereQuery.go:43-57): exact token adjacency
     via the positional posting stream, BM25 over the phrase's distinct
-    terms; oracle recomputes adjacency from token positions in SQL."""
+    terms; oracle recomputes adjacency from token positions in SQL.
+    Round-5: the positional decode is bounded by the AND-candidate
+    blocks (operators/query.py _phrase_sets)."""
     eng = _engine(spark, sf_dir)
     res = eng.search_phrase(f"{PHRASE_T1} {PHRASE_T2}", limit=10, page=1)
     rows = [(int(d), round(float(s), 6)) for d, s in res["results"]]
     df = spark.createDataFrame(rows, "doc_id long, score_r double")
     return df.withColumn("total_hits", F.lit(int(res["total_hits"])))
+
+
+# batched phrase queries (round-5): multi-word keywords as exact phrases
+# THROUGH the batch plan — mixed with a bag-of-words query, a lang
+# filter, a page-2 window and a single-token phrase
+PHRASE_SPECS = [
+    {"query_id": 0, "query_text": f"{PHRASE_T1} {PHRASE_T2}", "lang_filter": None,
+     "limit": 10, "page": 1, "phrase": True},
+    {"query_id": 1, "query_text": "the window", "lang_filter": None,
+     "limit": 5, "page": 2, "phrase": True},
+    {"query_id": 2, "query_text": f"{PHRASE_T1} {PHRASE_T2}", "lang_filter": "en",
+     "limit": 10, "page": 1, "phrase": True},
+    {"query_id": 3, "query_text": "the window", "lang_filter": None,
+     "limit": 5, "page": 1},
+    {"query_id": 4, "query_text": "merge", "lang_filter": None,
+     "limit": 10, "page": 1, "phrase": True},
+]
+
+
+def _q_bm25_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: phrase-flagged queries through search_batch — adjacency
+    restriction composes with per-query lang filters, pagination and
+    exact totals in ONE batch plan; bag-of-words queries in the same
+    batch are unaffected."""
+    from micce_search_engine_spark.operators.batch_query import search_batch
+
+    eng = _engine(spark, sf_dir)
+    out = search_batch(eng, PHRASE_SPECS)
+    return out.select(
+        "query_id",
+        "doc_id",
+        "rank",
+        F.round("score", 6).alias("score_r"),
+        "total_hits",
+        "last_page",
+    )
 
 
 # deterministic Japanese-text corpus: 16 hex chars of md5(doc_id) mapped
@@ -725,6 +772,25 @@ FROM d ORDER BY dot / (na * nb) DESC, vec_id LIMIT 10
 
 
 MF_QUERY = "fastjoin"  # expands to 2 branches x 2 fields = 4 OR branches
+# multi-field PHRASE keyword (round-5): the synonym branch is a 2-token
+# sequence that must match ADJACENTLY per field; the original is a
+# single token — the reference's convertSpotNameQuery 4-branch shape
+# with whereQuery.go's contains-phrase semantics
+MF_PHRASE_QUERY = "tablehash"
+MF_PHRASE_SYN = {"tablehash": f"{PHRASE_T1} {PHRASE_T2}"}
+
+
+def _q_bm25_phrase_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: multi-word keywords phrase-match PER FIELD with the
+    synonym-branch OR (whereQuery.go:43-57 x convertSpotNameQuery.go:
+    11-17); scoring stays the cross-field fixed-point BM25 sum, so
+    phrase only shrinks candidacy. Oracle recomputes per-field
+    adjacency from ordered token positions + the same score."""
+    from micce_search_engine_spark.operators.multifield import multifield_scored
+
+    ce = _mf_engine(spark, sf_dir)
+    out = multifield_scored(ce.engines, MF_PHRASE_QUERY, MF_PHRASE_SYN, phrase=True)
+    return out.select("doc_id", F.round("score", 6).alias("score_r"))
 
 
 def _q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_multi": _q_bm25_wand_multi,
         "bm25_wand_batch": _q_bm25_wand_batch,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_phrase_batch": _q_bm25_phrase_batch,
+        "bm25_phrase_multifield": _q_bm25_phrase_multifield,
         "cjk_bigram_search": _q_cjk_bigram_search,
         "posting_roundtrip": _q_posting_roundtrip,
         "corpus_stats": _q_corpus_stats,
@@ -1253,6 +1321,52 @@ df{tag} AS (SELECT term, count(*)::BIGINT AS df FROM tf{tag} GROUP BY 1)"""
     return ",".join(out)
 
 
+def _mf_toks_pos_sql() -> str:
+    """Per-field ORDERED token positions (ordinality from the split
+    order — see _TOKS_POS): tpT = text, tpK = derived title."""
+    out = []
+    for tag, expr in (("T", "lower(coalesce(text, ''))"), ("K", f"lower({_TITLE_SQL})")):
+        out.append(
+            f"""
+tp{tag} AS (
+  SELECT doc_id,
+         generate_subscripts(parts, 1) - 1 AS pos,
+         unnest(parts) AS term
+  FROM (
+    SELECT doc_id, list_filter(string_split({expr}, ' '), x -> x <> '') AS parts
+    FROM documents
+  )
+)"""
+        )
+    return ",".join(out)
+
+
+def _phrase_join_sql(rel: str, b: list[str], qid_expr: str = "") -> str:
+    """One SELECT of doc_ids where relation ``rel`` (doc_id, pos, term)
+    contains the token sequence ``b`` consecutively."""
+    head = f"SELECT {qid_expr}a0.doc_id FROM {rel} a0"
+    joins = " ".join(
+        f"JOIN {rel} a{i} ON a{i}.doc_id = a0.doc_id "
+        f"AND a{i}.pos = a0.pos + {i} AND a{i}.term = '{b[i]}'"
+        for i in range(1, len(b))
+    )
+    return f"{head} {joins} WHERE a0.term = '{b[0]}'"
+
+
+def _mf_cand_phrase_sql(query_text: str, synonyms: dict[str, str]) -> str:
+    """Phrase candidacy: some OR branch's token sequence CONSECUTIVE in
+    some field (single-token branches degrade to presence)."""
+    branches = expand_branches(query_text, synonyms)
+    sels = []
+    for tag in ("T", "K"):
+        for b in branches:
+            if len(b) == 1:
+                sels.append(f"SELECT doc_id FROM tp{tag} WHERE term = '{b[0]}'")
+            else:
+                sels.append(_phrase_join_sql(f"tp{tag}", b))
+    return "cand AS (SELECT DISTINCT doc_id FROM (" + " UNION ALL ".join(sels) + "))"
+
+
 def _mf_cand_sql(query_text: str) -> str:
     """Candidacy: some OR branch fully matched in SOME field."""
     branches = expand_branches(query_text, SYNONYMS)
@@ -1268,10 +1382,10 @@ def _mf_cand_sql(query_text: str) -> str:
     return "cand AS (SELECT DISTINCT doc_id FROM (" + " UNION ALL ".join(sels) + "))"
 
 
-def _mf_score_sql(query_text: str) -> str:
+def _mf_score_sql(query_text: str, synonyms: dict[str, str] | None = None) -> str:
     """Per-field fixed-point BM25 sums cT/cK over the expanded terms +
     the cross-field combined score CTE 'mfscore'."""
-    branches = expand_branches(query_text, SYNONYMS)
+    branches = expand_branches(query_text, SYNONYMS if synonyms is None else synonyms)
     qterms = sorted({t for b in branches for t in b})
     in_list = ", ".join(f"'{t}'" for t in qterms)
     parts = []
@@ -1305,6 +1419,97 @@ mfscore AS (
 )"""
     )
     return ",".join(parts)
+
+
+def _phrase_batch_sql() -> str:
+    """Batched phrase oracle: per-query candidacy is ADJACENCY for
+    phrase-flagged queries (from ordered token positions) and the usual
+    branch-AND for bag-of-words queries; scoring/pagination/lang
+    filters/totals are identical to _bm25_sql."""
+    qmeta_rows, qbranch_rows, cand_sels = [], [], []
+    for q in PHRASE_SPECS:
+        lf = "NULL" if q["lang_filter"] is None else f"'{q['lang_filter']}'"
+        qmeta_rows.append(
+            f"({q['query_id']}, {lf}::VARCHAR, {q['limit']}, {q['page']})"
+        )
+        for bi, b in enumerate(expand_branches(q["query_text"], SYNONYMS)):
+            uniq = sorted(set(b))
+            for t in uniq:
+                qbranch_rows.append(f"({q['query_id']}, {bi}, {len(uniq)}, '{t}')")
+            if q.get("phrase"):
+                if len(b) == 1:
+                    cand_sels.append(
+                        f"SELECT {q['query_id']} AS query_id, doc_id "
+                        f"FROM toks_pos WHERE term = '{b[0]}'"
+                    )
+                else:
+                    cand_sels.append(
+                        _phrase_join_sql(
+                            "toks_pos", b, qid_expr=f"{q['query_id']} AS query_id, "
+                        )
+                    )
+            else:
+                terms = ", ".join(f"'{t}'" for t in uniq)
+                cand_sels.append(
+                    f"SELECT {q['query_id']} AS query_id, doc_id FROM tf "
+                    f"WHERE term IN ({terms}) "
+                    f"GROUP BY doc_id HAVING count(*) = {len(uniq)}"
+                )
+    qmeta_vals = ", ".join(qmeta_rows)
+    qbranch_vals = ", ".join(qbranch_rows)
+    cand_union = " UNION ALL ".join(cand_sels)
+    return f"""
+WITH {_TOKS},
+{_TOKS_POS.strip()},
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+qmeta(query_id, lang_filter, lim, pg) AS (VALUES {qmeta_vals}),
+qbranch(query_id, branch_id, branch_size, term) AS (VALUES {qbranch_vals}),
+qterms AS (SELECT DISTINCT query_id, term FROM qbranch),
+contrib AS (
+  SELECT q.query_id, f.doc_id,
+         floor(
+           ln((s.n - coalesce(d.df, 0) + 0.5) / (coalesce(d.df, 0) + 0.5) + 1.0)
+           * (f.tf * {K1_P1!r}
+              / (f.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * l.dl / s.avgdl)))
+           * 1e9
+         )::BIGINT AS c_fx
+  FROM qterms q
+  JOIN tf f USING (term)
+  JOIN dl l ON f.doc_id = l.doc_id
+  CROSS JOIN stats s
+  LEFT JOIN tdf d ON d.term = q.term
+),
+scored AS (
+  SELECT query_id, doc_id, sum(c_fx)::DOUBLE / 1e9 AS score
+  FROM contrib GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT query_id, doc_id FROM ({cand_union})),
+filtered AS (
+  SELECT s.query_id, s.doc_id, s.score
+  FROM scored s
+  JOIN cand USING (query_id, doc_id)
+  JOIN qmeta m USING (query_id)
+  JOIN documents d ON d.doc_id = s.doc_id
+  WHERE m.lang_filter IS NULL OR d.lang = m.lang_filter
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY query_id) AS total
+  FROM filtered
+)
+SELECT r.query_id, r.doc_id,
+       (r.rn - m.lim * (m.pg - 1))::INT AS rank,
+       round(r.score, 6)::DOUBLE AS score_r,
+       r.total::BIGINT AS total_hits,
+       (r.total - m.lim * m.pg <= 0) AS last_page
+FROM ranked r JOIN qmeta m USING (query_id)
+WHERE r.rn > m.lim * (m.pg - 1) AND r.rn <= m.lim * m.pg
+"""
 
 
 # mirrors functions/geo.py haversine_km exactly (same operand order)
@@ -1427,6 +1632,14 @@ scored AS (
 SELECT doc_id, round(score, 6)::DOUBLE AS score_r,
        (SELECT count(*) FROM phrase)::BIGINT AS total_hits
 FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+    sqls["bm25_phrase_batch"] = _phrase_batch_sql()
+    sqls["bm25_phrase_multifield"] = f"""
+WITH {_mf_toks_sql()},
+{_mf_toks_pos_sql()},
+{_mf_cand_phrase_sql(MF_PHRASE_QUERY, MF_PHRASE_SYN)},
+{_mf_score_sql(MF_PHRASE_QUERY, MF_PHRASE_SYN)}
+SELECT doc_id, round(score, 6)::DOUBLE AS score_r FROM mfscore
 """
     sqls["cjk_bigram_search"] = _cjk_sql()
     sqls["posting_roundtrip"] = f"""

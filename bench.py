@@ -187,6 +187,50 @@ def run_suite(spark, pages, sf_dir: str, cpus: int, n_docs: int) -> tuple[dict, 
     eng._segments_cached.unpersist()
     eng._term_stats.unpersist()
 
+    # phrase legs (round-5): positional index build cost (the opt-in
+    # 5th stream's price, VERDICT r4 #6) + bounded-phrase latency with
+    # a stopword in the phrase — the shape that was the r4 scale hazard
+    if _want("phrase"):
+        pos_dir = f"{WORKDIR}/mse_bench_index/c{cpus}_n{n_docs}_pos"
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        build_index(
+            spark,
+            pages,
+            pos_dir,
+            n_buckets=32,
+            max_postings_per_row=200_000,
+            with_positions=True,
+        )
+        timings["index_build_pos"] = time.monotonic() - t0
+
+        def _du(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+
+        counts["segments_bytes"] = _du(os.path.join(index_dir, "segments"))
+        counts["segments_pos_bytes"] = _du(os.path.join(pos_dir, "segments"))
+        eng_pos = SearchEngine(spark, pos_dir, synonyms=synonyms, preload=True)
+        # warm the segment cache like the other single-query legs (they
+        # ride on an engine the batch pass already warmed)
+        eng_pos.search("w000003", limit=10, page=1)
+        t0 = time.monotonic()
+        counts["phrase_stopword_hits"] = eng_pos.search_phrase(
+            "the w000001", limit=10, page=1
+        )["total_hits"]
+        timings["q_phrase_stopword"] = time.monotonic() - t0
+        t0 = time.monotonic()
+        counts["phrase_hits"] = eng_pos.search_phrase(
+            "w000001 w000002", limit=10, page=1
+        )["total_hits"]
+        timings["q_phrase"] = time.monotonic() - t0
+        eng_pos._segments_cached.unpersist()
+        eng_pos._term_stats.unpersist()
+        shutil.rmtree(pos_dir, ignore_errors=True)
+
     if _want("pipeline"):
         # pipeline ops on the driver-provided sf tables
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -273,6 +317,12 @@ def main() -> None:
         "batch_rows": int(counts["batch_rows"]),
         "batch_wand_rows": int(counts["batch_wand_rows"]),
         "build_stages_ms": counts.get("build_stages_ms", {}),
+        "segments_bytes": counts.get("segments_bytes"),
+        "segments_pos_bytes": counts.get("segments_pos_bytes"),
+        "phrase_hits": {
+            "stopword": counts.get("phrase_stopword_hits"),
+            "rare": counts.get("phrase_hits"),
+        },
     }
     print(json.dumps(result))
     spark.stop()

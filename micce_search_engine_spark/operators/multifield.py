@@ -85,11 +85,21 @@ def multifield_scored(
     query_text: str,
     synonyms: dict[str, str],
     lang_filter: str | None = None,
+    phrase: bool = False,
 ) -> DataFrame | None:
     """(doc_id, score) for docs where SOME field fully matches SOME OR
     branch; score = sum over fields of that field's fixed-point BM25
     over the expanded query terms (contributions count from every
-    field, candidacy from any)."""
+    field, candidacy from any).
+
+    ``phrase=True`` (round-5): candidacy requires the branch's tokens
+    CONSECUTIVELY in the field — the reference's actual semantics for a
+    multi-word keyword, where ``field contains "multi word"`` is always
+    a phrase (whereQuery.go:43-57) fanned out over the synonym x field
+    OR (convertSpotNameQuery.go:11-17). Scoring is unchanged (Vespa
+    ranks phrase hits with the same bm25 features), so phrase only
+    SHRINKS the candidate set. Single-token branches need no position
+    stream; multi-token branches require with_positions indexes."""
     branches = expand_branches(query_text, synonyms)
     if not branches:
         return None
@@ -97,22 +107,43 @@ def multifield_scored(
     parts = []
     for fname, eng in sorted(engines.items()):
         idf = eng.idf_map(all_terms)
-        postings = eng._postings(
-            all_terms, mode="score", lang_id=eng.lang_id_of(lang_filter)
-        )
+        lid = eng.lang_id_of(lang_filter)
+        postings = eng._postings(all_terms, mode="score", lang_id=lid)
         per_term = postings.withColumn(
             "w_fx", contrib_fx(eng._idf_expr(idf)[F.col("term")], F.col("wf"))
         )
-        agg = per_term.groupBy("doc_id").agg(
-            F.sum("w_fx").alias("score_fx"), *branch_count_aggs(branches)
-        )
-        parts.append(
-            agg.select(
-                "doc_id",
-                "score_fx",
-                branch_match_pred(branches).alias("matched"),
+        if phrase:
+            # phrase candidacy per field: bounded two-pass adjacency
+            # over ALL branches in one decode (operators/query.py
+            # _phrase_sets); the (doc_id) hit set is eagerly
+            # materialized, so joining it back is cheap
+            matches, _ = eng._phrase_sets(
+                dict(enumerate(branches)), lang_id=lid
             )
-        )
+            flag = (
+                matches.select("doc_id")
+                .distinct()
+                .withColumn("matched", F.lit(True))
+            )
+            agg = per_term.groupBy("doc_id").agg(F.sum("w_fx").alias("score_fx"))
+            parts.append(
+                agg.join(flag, "doc_id", "left").select(
+                    "doc_id",
+                    "score_fx",
+                    F.coalesce("matched", F.lit(False)).alias("matched"),
+                )
+            )
+        else:
+            agg = per_term.groupBy("doc_id").agg(
+                F.sum("w_fx").alias("score_fx"), *branch_count_aggs(branches)
+            )
+            parts.append(
+                agg.select(
+                    "doc_id",
+                    "score_fx",
+                    branch_match_pred(branches).alias("matched"),
+                )
+            )
     un = parts[0]
     for p in parts[1:]:
         un = un.unionByName(p)
@@ -161,7 +192,11 @@ class ConditionEngine:
         cand = None
         if keyword is not None:
             cand = multifield_scored(
-                self.engines, keyword, self.synonyms, condition.get("lang_filter")
+                self.engines,
+                keyword,
+                self.synonyms,
+                condition.get("lang_filter"),
+                phrase=bool(condition.get("phrase", False)),
             )
             if cand is None:  # keyword tokenized to nothing -> no hits
                 return self.spark.createDataFrame([], "doc_id long, score double")

@@ -724,23 +724,27 @@ class SearchEngine:
 
     # -- phrase search (round-4; decode bounded round-5) ------------------
 
-    def _phrase_sets(
+    #: block-selection engagement for the phrase path: the surviving-
+    #: block aggregate + broadcast costs ~2 extra Spark jobs; it pays
+    #: off when the skipped positional decode dominates — i.e. when the
+    #: candidate volume (bounded by the rarest term's df x #terms) is
+    #: far below the total posting volume. Engage when
+    #: sum_df >= factor * min_df * n_terms. The candidate SEMI-JOIN
+    #: before the position explode is always on (that is the exactness-
+    #: preserving bound); only the decode-avoidance layer is adaptive.
+    phrase_block_factor = 4.0
+
+    def _phrase_plan(
         self,
         seqs: dict[int, list[str]],
         lang_id: int | None = None,
-        idf: dict[str, float] | None = None,
-    ) -> tuple[DataFrame, DataFrame | None]:
-        """Docs whose token stream phrase-contains each sequence —
-        the shared primitive behind single-field phrase, multi-field
-        phrase branches and batched phrase queries.
-
-        ``seqs``: {seq_id: ordered token list}. Returns ``(matches,
-        scored)``: ``matches`` is (seq_id int, doc_id long), distinct;
-        ``scored`` (only when ``idf`` is given) is (doc_id, score) —
-        fixed-point BM25 over ALL of ``seqs``' decoded terms for every
-        doc appearing in some match. Both are EAGERLY materialized
-        (localCheckpoint) and all intermediate caches are released
-        before returning, so callers compose them freely.
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """LAZY core of phrase matching: returns (dec, cand_seq,
+        matches) where ``matches`` is an unmaterialized (seq_id,
+        doc_id) plan and ``dec``/``cand_seq`` are persisted inputs the
+        caller must unpersist AFTER running its terminal action —
+        single-query callers fuse scoring + count + top-k into ONE job
+        on top of this; composition callers use :meth:`_phrase_sets`.
 
         Scale shape (VERDICT r4 wrong #1 — the positional decode was
         unbounded): the expensive position stream is never read for
@@ -752,16 +756,16 @@ class SearchEngine:
         query batches). Pass 2 decodes positions ONLY for the blocks
         holding a candidate doc (the surviving-block selection is
         rebuilt relationally from pass 1's annotations and broadcast
-        into the segment scan, exactly like WAND's) and the decoded
-        rows are semi-joined to candidate docs BEFORE the position
-        explode — for ``"the matrix"`` the stopword's corpus-wide
-        positions are never materialized; the rarest term bounds the
-        work. Adjacency itself is unchanged: token i at position p
-        contributes (seq, doc, p - i), and a phrase occurrence exists
-        iff some (seq, doc, start) cell collects all len(seq) offsets
-        — count(*) is exact because positions within a posting are
-        distinct, keeping the aggregate map-side combinable.
-        Reference semantics: whereQuery.go:43-57.
+        into the segment scan, exactly like WAND's; engaged adaptively
+        — see ``phrase_block_factor``) and the decoded rows are
+        semi-joined to candidate docs BEFORE the position explode —
+        for ``"the matrix"`` the stopword's corpus-wide positions are
+        never materialized; the rarest term bounds the work. Adjacency
+        itself: token i at position p contributes (seq, doc, p - i),
+        and a phrase occurrence exists iff some (seq, doc, start) cell
+        collects all len(seq) offsets — count(*) is exact because
+        positions within a posting are distinct, keeping the aggregate
+        map-side combinable. Reference semantics: whereQuery.go:43-57.
         """
         seq_ids = sorted(seqs)
         all_terms = sorted({t for s in seqs.values() for t in s})
@@ -792,62 +796,81 @@ class SearchEngine:
             .select("seq_id", "doc_id")
             .persist()
         )
-        try:
-            parts = []
-            single_ids = [j for j in seq_ids if j not in multi]
-            if single_ids:
-                # a 1-token "phrase" hits wherever the term occurs
-                parts.append(cand_seq.filter(F.col("seq_id").isin(single_ids)))
-            if multi:
-                multi_ids = sorted(multi)
-                cand_multi = (
-                    cand_seq.filter(F.col("seq_id").isin(multi_ids))
-                    .select("doc_id")
-                    .distinct()
-                )
-                mterms = sorted({t for s in multi.values() for t in s})
-                # surviving-block selection: only blocks holding a
-                # candidate doc get their positions decoded
-                allowed = (
+        parts = []
+        single_ids = [j for j in seq_ids if j not in multi]
+        if single_ids:
+            # a 1-token "phrase" hits wherever the term occurs
+            parts.append(cand_seq.filter(F.col("seq_id").isin(single_ids)))
+        if multi:
+            multi_ids = sorted(multi)
+            cand_multi = (
+                cand_seq.filter(F.col("seq_id").isin(multi_ids))
+                .select("doc_id")
+                .distinct()
+            )
+            mterms = sorted({t for s in multi.values() for t in s})
+            # adaptive surviving-block selection: zero extra Spark jobs
+            # to decide (dfs ride the driver-side cache idf_map fills)
+            self.idf_map(mterms)
+            dfs = [self._df_cache.get(t, 0) for t in mterms]
+            engage = sum(dfs) >= self.phrase_block_factor * min(dfs) * len(mterms)
+            block_join = None
+            if engage:
+                block_join = (
                     dec.filter(F.col("term").isin(mterms))
                     .join(cand_multi, "doc_id", "left_semi")
                     .groupBy("term", "salt")
                     .agg(F.collect_set("bi").alias("allowed"))
                 )
-                pos = self._postings(
-                    mterms, block_join=allowed, mode="score_pos", lang_id=lang_id
-                ).join(cand_multi, "doc_id", "left_semi")
-                qpos = spark.createDataFrame(
-                    [
-                        (j, t, i)
-                        for j in multi_ids
-                        for i, t in enumerate(seqs[j])
-                    ],
-                    "seq_id int, term string, off int",
+            pos = self._postings(
+                mterms, block_join=block_join, mode="score_pos", lang_id=lang_id
+            ).join(cand_multi, "doc_id", "left_semi")
+            qpos = spark.createDataFrame(
+                [(j, t, i) for j in multi_ids for i, t in enumerate(seqs[j])],
+                "seq_id int, term string, off int",
+            )
+            msize = spark.createDataFrame(
+                [(j, len(seqs[j])) for j in multi_ids], "seq_id int, m int"
+            )
+            slots = (
+                pos.select("term", "doc_id", F.explode("positions").alias("p"))
+                .join(F.broadcast(qpos), "term")
+                .select(
+                    "seq_id", "doc_id", (F.col("p") - F.col("off")).alias("p0")
                 )
-                msize = spark.createDataFrame(
-                    [(j, len(seqs[j])) for j in multi_ids], "seq_id int, m int"
-                )
-                slots = (
-                    pos.select("term", "doc_id", F.explode("positions").alias("p"))
-                    .join(F.broadcast(qpos), "term")
-                    .select(
-                        "seq_id", "doc_id", (F.col("p") - F.col("off")).alias("p0")
-                    )
-                    .filter(F.col("p0") >= 0)
-                )
-                parts.append(
-                    slots.groupBy("seq_id", "doc_id", "p0")
-                    .agg(F.count(F.lit(1)).alias("ns"))
-                    .join(F.broadcast(msize), "seq_id")
-                    .filter(F.col("ns") == F.col("m"))
-                    .select("seq_id", "doc_id")
-                    .distinct()
-                )
-            matches = parts[0]
-            for p in parts[1:]:
-                matches = matches.unionByName(p)
-            matches = matches.localCheckpoint(eager=True)
+                .filter(F.col("p0") >= 0)
+            )
+            parts.append(
+                slots.groupBy("seq_id", "doc_id", "p0")
+                .agg(F.count(F.lit(1)).alias("ns"))
+                .join(F.broadcast(msize), "seq_id")
+                .filter(F.col("ns") == F.col("m"))
+                .select("seq_id", "doc_id")
+                .distinct()
+            )
+        matches = parts[0]
+        for p in parts[1:]:
+            matches = matches.unionByName(p)
+        return dec, cand_seq, matches
+
+    def _phrase_sets(
+        self,
+        seqs: dict[int, list[str]],
+        lang_id: int | None = None,
+        idf: dict[str, float] | None = None,
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Materialized phrase matching for COMPOSITION (multi-field
+        branches, batched queries): returns ``(matches, scored)`` —
+        ``matches`` (seq_id, doc_id) distinct; ``scored`` (only when
+        ``idf`` is given) is (doc_id, score), fixed-point BM25 over ALL
+        of ``seqs``' decoded terms for every doc in some match. Both
+        are EAGERLY materialized (localCheckpoint) and every
+        intermediate cache is released before returning, so callers
+        compose them freely with no lifetime obligations. See
+        :meth:`_phrase_plan` for the bounded two-pass shape."""
+        dec, cand_seq, matches_lazy = self._phrase_plan(seqs, lang_id)
+        try:
+            matches = matches_lazy.localCheckpoint(eager=True)
             scored = None
             if idf is not None:
                 hit_docs = matches.select("doc_id").distinct()
@@ -903,8 +926,28 @@ class SearchEngine:
         idf = self.idf_map(sorted(set(qtokens)))
         k = limit * page
         lid = self.lang_id_of(lang_filter)
-        _, scored = self._phrase_sets({0: qtokens}, lang_id=lid, idf=idf)
-        total, top = _topk_and_count(scored, k)
+        # single-query fast shape: score + phrase-filter + fused
+        # count/top-k in ONE terminal action over the lazy plan (the
+        # composition wrapper _phrase_sets would spend two extra
+        # checkpoint jobs here)
+        dec, cand_seq, matches = self._phrase_plan({0: qtokens}, lang_id=lid)
+        try:
+            cand = (
+                dec.join(matches.select("doc_id").distinct(), "doc_id", "left_semi")
+                .withColumn(
+                    "w_fx",
+                    contrib_fx(self._idf_expr(idf)[F.col("term")], F.col("wf")),
+                )
+                .groupBy("doc_id")
+                .agg(F.sum("w_fx").alias("score_fx"))
+                .select(
+                    "doc_id", (F.col("score_fx") / F.lit(SCORE_SCALE)).alias("score")
+                )
+            )
+            total, top = _topk_and_count(cand, k)
+        finally:
+            dec.unpersist()
+            cand_seq.unpersist()
         offset = limit * (page - 1)
         window = top[offset : offset + limit]
         return {

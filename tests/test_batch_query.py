@@ -88,3 +88,101 @@ def test_batch_wand_topk_matches_exact(batch_env):
         (r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in wand
     }
     assert got == exp
+
+
+def test_batch_wand_adaptive_split_matches_exact(batch_env):
+    """Round-5 adaptive engagement: whichever side of the engagement
+    floor a query lands on (forced-all-engaged, forced-none, and a
+    mixed split), the page windows are identical."""
+    from micce_search_engine_spark.operators.batch_query import search_batch_topk
+
+    eng, rows, _ = batch_env
+    exp = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in rows}
+    old = eng.wand_engage_factor
+    try:
+        for factor in (0, 10**9):
+            eng.wand_engage_factor = factor
+            got = {
+                (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+                for r in search_batch_topk(eng, SPECS).collect()
+            }
+            assert got == exp, factor
+        # mixed: pick a floor between the stopword's df-sum and the rare
+        # terms' so the batch genuinely splits
+        from micce_search_engine_spark import BLOCK_SIZE
+        from micce_search_engine_spark.oracle import expand_branches
+
+        sums = {}
+        for q in SPECS:
+            terms = {
+                t for b in expand_branches(q["query_text"], eng.synonyms) for t in b
+            }
+            k = q["limit"] * q["page"]
+            sums[q["query_id"]] = (
+                sum(eng._df_cache.get(t, 0) for t in terms) / max(k * BLOCK_SIZE, 1)
+            )
+        mid = sorted(sums.values())[len(sums) // 2] or 1e-6
+        eng.wand_engage_factor = mid
+        engaged = [qid for qid, s in sums.items() if s >= mid]
+        assert engaged and len(engaged) < len(SPECS)  # both paths exercised
+        got = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in search_batch_topk(eng, SPECS).collect()
+        }
+        assert got == exp
+    finally:
+        eng.wand_engage_factor = old
+
+
+def test_batch_phrase_flag(spark, tiny_pages_pdf, synonyms, tmp_path_factory):
+    """Round-5 phrase-in-batch: a phrase-flagged query's hits/totals in
+    search_batch equal search_phrase; bag-of-words queries in the same
+    batch are unaffected; totals_batch and search_batch_topk agree."""
+    from micce_search_engine_spark.corpus import pages_spark_schema
+    from micce_search_engine_spark.operators.batch_query import search_batch_topk
+    from micce_search_engine_spark.operators.index_build import build_index
+
+    idx = str(tmp_path_factory.mktemp("batchphrase") / "idx")
+    pages = spark.createDataFrame(tiny_pages_pdf, schema=pages_spark_schema())
+    build_index(
+        spark, pages, idx, n_buckets=4, max_postings_per_row=300, with_positions=True
+    )
+    eng = SearchEngine(spark, idx, synonyms=synonyms)
+    specs = [
+        {"query_id": 0, "query_text": "the of", "lang_filter": None,
+         "limit": 5, "page": 1, "phrase": True},
+        {"query_id": 1, "query_text": "the of", "lang_filter": None,
+         "limit": 5, "page": 1},
+        {"query_id": 2, "query_text": "the of", "lang_filter": "en",
+         "limit": 5, "page": 1, "phrase": True},
+    ]
+    rows = search_batch(eng, specs).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in by_q.values():
+        q.sort(key=lambda r: r["rank"])
+
+    sp = eng.search_phrase("the of", limit=5, page=1)
+    got0 = [(r["doc_id"], r["score"]) for r in by_q[0]]
+    assert got0 == sp["results"]
+    assert by_q[0][0]["total_hits"] == sp["total_hits"]
+
+    bag = eng.search("the of", limit=5, page=1)
+    got1 = [(r["doc_id"], r["score"]) for r in by_q[1]]
+    assert got1 == bag["results"]
+    assert by_q[1][0]["total_hits"] == bag["total_hits"]
+    assert bag["total_hits"] > sp["total_hits"]  # phrase strictly shrinks here
+
+    spl = eng.search_phrase("the of", lang_filter="en", limit=5, page=1)
+    got2 = [(r["doc_id"], r["score"]) for r in by_q[2]]
+    assert got2 == spl["results"]
+    assert by_q[2][0]["total_hits"] == spl["total_hits"]
+
+    t = {r["query_id"]: r["total_hits"] for r in totals_batch(eng, specs).collect()}
+    assert t == {0: sp["total_hits"], 1: bag["total_hits"], 2: spl["total_hits"]}
+
+    wand = search_batch_topk(eng, specs).collect()
+    gotw = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in wand}
+    expw = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in rows}
+    assert gotw == expw

@@ -218,11 +218,22 @@ def test_phrase_positional_decode_is_bounded(spark, tiny_pages_pdf, tmp_path_fac
         return orig(terms, block_join=block_join, mode=mode, lang_id=lang_id)
 
     eng._postings = spy
+    eng.phrase_block_factor = 0  # force block-selection engagement
     res = eng.search_phrase("the of", limit=10, page=1)
     assert res["total_hits"] > 0
     pos_calls = [c for c in calls if c[0] == "score_pos"]
     assert pos_calls and all(bounded for _, bounded in pos_calls), calls
     assert any(m == "score_blk" for m, _ in calls), calls
+
+    # adaptive disengage (similar-df terms: nothing to prune) still
+    # returns identical results, with the decode NOT block-restricted
+    calls.clear()
+    eng.phrase_block_factor = 10**9
+    res2 = eng.search_phrase("the of", limit=10, page=1)
+    assert res2 == res
+    pos_calls = [c for c in calls if c[0] == "score_pos"]
+    assert pos_calls and not any(bounded for _, bounded in pos_calls), calls
+    eng.phrase_block_factor = SearchEngine.phrase_block_factor
 
     # multi-sequence primitive: one decode, per-seq matches identical
     # to running each sequence alone (incl. a 1-token sequence)

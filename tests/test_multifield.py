@@ -171,3 +171,77 @@ def test_lsh_buckets_deterministic(spark):
     b = hyperplane_buckets(df, 8, n_planes=4).collect()[0]["bucket"]
     # query bucket of the same vector must equal the dataframe bucket
     assert probes[0] == b
+
+
+def _mf_phrase_oracle(pdf, query, synonyms):
+    """Brute-force phrase variant: candidacy = some branch's token
+    sequence CONSECUTIVE in some field; score unchanged (cross-field
+    fixed-point BM25 over all expanded terms)."""
+    branches = expand_branches(query, synonyms)
+    qterms = sorted({t for b in branches for t in b})
+    fields = {"text": [tokenize_text(t) for t in pdf["text"]],
+              "title": [tokenize_text(t) for t in pdf["title"]]}
+    n = len(pdf)
+    out = {}
+    scores = {}
+    for fname, toksets in fields.items():
+        dls = [len(t) for t in toksets]
+        avgdl = sum(dls) / n
+        tfs = [Counter(t) for t in toksets]
+        df = Counter()
+        for c in tfs:
+            df.update(c.keys())
+        for d in range(n):
+            fx = 0
+            for t in qterms:
+                f = tfs[d].get(t, 0)
+                if f:
+                    idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                    wf = f * (BM25_K1 + 1.0) / (
+                        f + BM25_K1 * (1.0 - BM25_B + BM25_B * dls[d] / avgdl)
+                    )
+                    fx += math.floor(idf * wf * 1e9)
+            scores[d] = scores.get(d, 0) + fx
+            tk = toksets[d]
+            for b in branches:
+                m = len(b)
+                if any(tk[i : i + m] == b for i in range(len(tk) - m + 1)):
+                    out[d] = True
+                    break
+    return {d: scores[d] / 1e9 for d in out}
+
+
+def test_multifield_phrase_matches_oracle(spark, tmp_path_factory):
+    """Round-5: multi-word keywords phrase-match per field with the
+    synonym-branch OR (whereQuery.go:43-57 x convertSpotNameQuery.go:
+    11-17), through multifield_scored(phrase=True) and the
+    ConditionEngine 'phrase' condition key."""
+    syn = {"qalias": "the of"}
+    pdf = gen_pages(N, seed=19).sort_values("url").reset_index(drop=True)
+    pdf["title"] = [_title(t) for t in pdf["text"]]
+    pdf["doc_id"] = range(N)
+    pages = spark.createDataFrame(pdf[["url", "text", "title", "lang", "doc_id"]])
+    base = str(tmp_path_factory.mktemp("mfp") / "idx")
+    idxs = build_field_indexes(
+        spark, pages, ["text", "title"], base, doc_id_col="doc_id",
+        n_buckets=4, max_postings_per_row=10**9, with_positions=True,
+    )
+    engines = {f: SearchEngine(spark, d, synonyms=syn) for f, d in idxs.items()}
+    for query in ["the of", "qalias", "w000001"]:
+        got_df = multifield_scored(engines, query, syn, phrase=True)
+        got = {r["doc_id"]: r["score"] for r in got_df.collect()}
+        exp = _mf_phrase_oracle(pdf, query, syn)
+        assert got == exp, query
+        # phrase candidacy is a subset of bag-of-words candidacy
+        bag = _mf_oracle(pdf, query, syn)
+        assert set(got) <= set(bag), query
+    # synonym OR: 'qalias' (absent as a token) still hits via "the of"
+    assert _mf_phrase_oracle(pdf, "qalias", syn)
+    # ConditionEngine surface
+    ce = ConditionEngine(engines, synonyms=syn)
+    res = ce.search({"keyword": "the of", "rank_profile": "bm25",
+                     "limit": 5, "page": 1, "phrase": True})
+    exp = _mf_phrase_oracle(pdf, "the of", syn)
+    assert res["total_hits"] == len(exp)
+    top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert res["results"] == [(d, s) for d, s in top]
