@@ -63,6 +63,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     s.add_argument("--synonyms", default=None, help="2-column CSV path")
 
+    v = sub.add_parser(
+        "serve",
+        help="HTTP serving front-end (POST /api/v1/search — the "
+        "reference search-api analog)",
+    )
+    v.add_argument("--index", required=True, help="single-field index dir")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8001)
+    v.add_argument(
+        "--preload",
+        choices=["none", "segments", "decoded"],
+        default="decoded",
+        help="serving mode (default: decoded-postings cache)",
+    )
+    v.add_argument("--synonyms", default=None, help="2-column CSV path")
+
     args = p.parse_args(argv)
 
     from micce_search_engine_spark.session import get_spark
@@ -121,6 +137,34 @@ def main(argv: list[str] | None = None) -> int:
                     topk_only=args.topk_only,
                 )
             print(json.dumps(res))
+        elif args.cmd == "serve":
+            from micce_search_engine_spark.operators.multifield import ConditionEngine
+            from micce_search_engine_spark.operators.query import SearchEngine
+            from micce_search_engine_spark.serving.http_api import serve
+
+            synonyms = {}
+            if args.synonyms:
+                from micce_search_engine_spark.sources.synonyms import load_synonyms_csv
+
+                synonyms = load_synonyms_csv(spark, args.synonyms)
+            preload = {"none": False, "segments": True, "decoded": "decoded"}[
+                args.preload
+            ]
+            eng = SearchEngine(spark, args.index, synonyms=synonyms, preload=preload)
+            ce = ConditionEngine({"text": eng}, synonyms=synonyms)
+            srv = serve(ce, host=args.host, port=args.port)
+            print(
+                json.dumps(
+                    {"status": "serving", "addr": "http://%s:%d" % srv.server_address}
+                ),
+                flush=True,
+            )
+            import threading
+
+            try:
+                threading.Event().wait()  # serve() runs on a daemon thread
+            except KeyboardInterrupt:
+                srv.shutdown()
         return 0
     finally:
         spark.stop()
