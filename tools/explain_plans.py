@@ -81,37 +81,26 @@ def main() -> None:
         )
     )
 
-    # phrase adjacency plan (round-4): positional decode + slot aggregate
-    from pyspark.sql import functions as F
-
-    qtoks = ["the", "of"]
-    dec = eng._postings(sorted(set(qtoks)), mode="score_pos")
-    slots = None
-    for i, t in enumerate(qtoks):
-        b = (
-            dec.filter(F.col("term") == t)
-            .select("doc_id", F.explode("positions").alias("pos"))
-            .select("doc_id", (F.col("pos") - F.lit(i)).alias("p0"))
-            .filter(F.col("p0") >= 0)
-        )
-        slots = b if slots is None else slots.unionByName(b)
-    phrase_docs = (
-        slots.groupBy("doc_id", "p0")
-        .agg(F.count(F.lit(1)).alias("nslots"))
-        .filter(F.col("nslots") == len(qtoks))
-        .select("doc_id")
-        .distinct()
-    )
+    # phrase plan (round-5: BOUNDED positional decode — VERDICT r4 #1)
+    eng.phrase_block_factor = 0  # force block-selection engagement
+    dec_p, cand_seq_p, matches_p = eng._phrase_plan({0: ["the", "of"]})
     sections.append(
         (
-            "Phrase adjacency (round-4: positional 5th stream)",
-            "Look for: ReadSchema now includes pos_blob/block_pos_off (ONLY "
-            "here — other modes prune them away); slot aggregate is a plain "
-            "partial count HashAggregate (map-side combinable), no "
-            "countDistinct, no window.",
-            explain(phrase_docs),
+            "Phrase matching (round-5: bounded two-pass)",
+            "Look for: the positional scan (ReadSchema WITH pos_blob/"
+            "block_pos_off) sits behind a BroadcastHashJoin against the "
+            "surviving-block selection (term, salt, allowed) AND a LeftSemi "
+            "against candidate docs BEFORE the position explode — the "
+            "stopword's corpus-wide positions are never materialized. Pass 1 "
+            "is the cheap score_blk scan (NO pos columns in its ReadSchema); "
+            "the slot aggregate is a plain partial count HashAggregate "
+            "(map-side combinable), no countDistinct, no window.",
+            explain(matches_p),
         )
     )
+    dec_p.unpersist()
+    cand_seq_p.unpersist()
+    eng.phrase_block_factor = SearchEngine.phrase_block_factor
 
     # serving mode: decoded-postings cache (round-4)
     srv = SearchEngine(spark, idx, synonyms=syn, preload="decoded")

@@ -44,6 +44,20 @@ def main() -> None:
         for line in f:
             r = json.loads(line)
             raw[int(r["leg_cpus"])].append(r)
+    # interference exclusion (round-5): drop attempts whose in-leg
+    # machine-wide steal exceeded the harness threshold, when at least
+    # one clean attempt exists for that core count — dirty windows
+    # measure the host, not the engine (VERDICT r4 wrong #3)
+    excluded = {}
+    for c in raw:
+        clean = [
+            r
+            for r in raw[c]
+            if r.get("steal_ok", r.get("steal_pct_machine", 0.0) <= 3.0)
+        ]
+        excluded[c] = len(raw[c]) - len(clean)
+        if clean:
+            raw[c] = clean
     reps = min(len(v) for v in raw.values())
     results = {c: BS._min_merge(rs) for c, rs in raw.items()}
     for c, r in results.items():
@@ -93,7 +107,49 @@ def main() -> None:
         return
 
     steals = {c: [x["steal_pct_machine"] for x in raw[c]] for c in (BS.N_SMALL, BS.N_BIG)}
-    md = f"""# BENCH/BASELINE — measured numbers vs targets (round 4)
+    pos_cost = ""
+    pos_path = os.path.join(REPO, "BENCH", "positional_cost.json")
+    if os.path.exists(pos_path):
+        pc = json.load(open(pos_path))
+        pos_cost = f"""
+## Positional index cost (phrase support is opt-in)
+
+Measured one-off at n={pc['n_docs']:,} docs, local[{pc['cpus']}]
+(fresh JVM, warmed, pinned; steal {pc['steal_pct_machine']}%):
+build {pc['index_build_s']:.1f} s -> {pc['index_build_pos_s']:.1f} s with
+positions (**{pc['index_build_pos_s'] / pc['index_build_s']:.2f}x build time**),
+segments {pc['segments_bytes'] / 1e6:.0f} MB -> {pc['segments_pos_bytes'] / 1e6:.0f} MB
+(**{pc['segments_pos_bytes'] / pc['segments_bytes']:.2f}x bytes**).
+Phrase latency rides the bounded two-pass plan (q_phrase_stopword leg):
+{pc.get('q_phrase_stopword_s', float('nan')):.2f} s for a stopword-leading
+phrase at this scale. Raw: BENCH/positional_cost.json.
+"""
+    ann_cost = ""
+    ann_path = os.path.join(REPO, "BENCH", "ann_scale.json")
+    if os.path.exists(ann_path):
+        ac = json.load(open(ann_path))
+        rows = "\n".join(
+            f"| nprobe={np_} ({v['scanned_lists_pct']}% of lists) | "
+            f"{v['latency_p50_s']:.2f} s | {v['recall_at_10']:.2f} |"
+            for np_, v in sorted(ac["ivf"].items(), key=lambda kv: int(kv[0]))
+        )
+        ann_cost = f"""
+## IVF vs brute force at {ac['n_vectors']:,} vectors (dim {ac['dim']}, local[{ac['cpus']}])
+
+Deterministic hash-derived vectors; {ac['k_lists']} trained lists
+(k-means {ac['train_s']:.0f} s on a sample, full assignment + persisted
+list-partitioned index {ac['build_index_s']:.0f} s). Exact brute-force
+top-10 p50: **{ac['brute_latency_p50_s']:.2f} s**.
+
+| IVF setting | latency p50 | recall@10 |
+|---|---|---|
+{rows}
+
+The indexed path wins once the partition-pruned probe scan reads less
+than the full table; the recall column shows what each nprobe buys.
+Raw: BENCH/ann_scale.json.
+"""
+    md = f"""# BENCH/BASELINE — measured numbers vs targets (round 5)
 
 ## Scaling evidence: local[{BS.N_SMALL}] vs local[{BS.N_BIG}] (N vs 4N cores, same input)
 
@@ -158,12 +214,28 @@ quality is (engine speedup) / (matching control speedup). Raw JSON:
 BENCH/scaling_c{BS.N_SMALL}.json, BENCH/scaling_c{BS.N_BIG}.json (per-rep runs +
 steal + both controls + per-stage build decomposition).
 
+**Interference-aware harness (round-5, VERDICT r4 #4):** each leg
+waits for a calm pre-flight window and is RETRIED when machine-wide
+steal during the leg exceeded 3%; attempts that stayed dirty are
+excluded from the merge when a clean attempt exists (excluded this
+run: local[{BS.N_SMALL}]={excluded.get(BS.N_SMALL, 0)},
+local[{BS.N_BIG}]={excluded.get(BS.N_BIG, 0)}) — dirty windows measure
+the host, not the engine.
+{pos_cost}{ann_cost}
 ## Notes
 
 * Both runs build the full index (tokenize -> stats -> salted
   segments), then run the 100-query batched BM25 evaluation, single
   query latencies (cold engine and serving preload), then pipeline ops
   (MinHash-LSH dedup, ANN).
+* Round-5 changes vs round 4: phrase's positional decode is BOUNDED
+  (pass-1 AND-candidates on the cheap stream select the blocks pass 2
+  may decode; candidate semi-join before the position explode); phrase
+  composes with multi-field+synonyms and the batch path; batched WAND
+  engages adaptively per query (exact plan below the decode-volume
+  floor — batch100_wand is now <= batch100 at every measured point
+  below the crossover); upsert staging dirs hidden from partition
+  discovery + recovery guarded by the writer lock.
 * Round-4 changes vs round 3: search_batch computes totals + top-k in
   ONE fused pass (round 3 scanned a persisted candidate set twice and
   checkpointed the full output — the r2->r3 batch100 regression, now
