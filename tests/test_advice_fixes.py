@@ -102,10 +102,12 @@ def test_manifest_latest_status_not_lexicographic(spark, tmp_path):
 def test_minhash_hot_shingle_bounded(spark):
     """VERDICT r3 wrong #1: a shingle shared by d docs must NOT drive an
     O(d^2) verify join. 2,000 unrelated docs share one boilerplate
-    3-gram; two real near-dups exist. The verify stage must (a) return
-    exactly the true pair and (b) restrict the shingle self-join to
-    candidate docs BEFORE joining (structural check: the optimized plan
-    semi-joins sh->cand_docs in addition to the pair-level semi)."""
+    3-gram; two real near-dups exist. Round-6 shape: verification
+    intersects per-doc shingle ARRAYS (array_intersect) attached to the
+    candidate pairs — no shingle-keyed join exists anywhere in the plan,
+    so a hot shingle cannot drive join-row blowup by construction; the
+    raw docs are still semi-joined down to candidate docs before the
+    array recompute."""
     base = "common boiler plate"
     rows = [(i, f"{base} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(2000)]
     # two genuine near-dups (identical text -> jaccard 1.0)
@@ -114,7 +116,11 @@ def test_minhash_hot_shingle_bounded(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     lazy = minhash_lsh_pairs(df, threshold=0.9, materialize=False)
     plan = lazy._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("LeftSemi") >= 2, plan
+    assert "array_intersect" in plan, plan
+    assert plan.count("LeftSemi") >= 1, plan
+    # no per-shingle join rows: the only equi-joins are on band keys and
+    # candidate doc ids (the exploded shingle relation no longer exists)
+    assert "shingle" not in plan, plan
     out = minhash_lsh_pairs(df, threshold=0.9)
     got = [(r["doc_a"], r["doc_b"], round(r["jaccard"], 6)) for r in out.collect()]
     assert got == [(9001, 9002, 1.0)]
