@@ -343,6 +343,14 @@ def _topk_and_count(cand: DataFrame, k: int) -> tuple[int, list]:
     return total, top[:k]
 
 
+def _shift_positions(col, off: int):
+    """positions - off as an array Column. The offset must be bound via
+    this factory's scope: a two-parameter lambda passed to
+    ``F.transform`` would receive the ARRAY INDEX as its second
+    argument."""
+    return F.transform(col, lambda p: p - F.lit(off))
+
+
 def contrib_fx(idf_col, wf_col):
     """Fixed-point per-term BM25 contribution: floor(idf*wf*1e9) long.
     Summed as int64 -> deterministic under ANY partitioning; mirrored
@@ -722,136 +730,198 @@ class SearchEngine:
             F.collect_list("bi").alias("allowed")
         )
 
-    # -- phrase search (round-4; decode bounded round-5) ------------------
+    # -- phrase search (round-4; fused single-decode round-6) -------------
 
-    #: block-selection engagement for the phrase path: the surviving-
-    #: block aggregate + broadcast costs ~2 extra Spark jobs; it pays
-    #: off when the skipped positional decode dominates — i.e. when the
-    #: candidate volume (bounded by the rarest term's df x #terms) is
-    #: far below the total posting volume. Engage when
-    #: sum_df >= factor * min_df * n_terms. The candidate SEMI-JOIN
-    #: before the position explode is always on (that is the exactness-
-    #: preserving bound); only the decode-avoidance layer is adaptive.
+    #: bounded-decode engagement for the phrase path: collecting the
+    #: rarest terms' doc ids + the metadata block-selection pass cost
+    #: ~2 extra (tiny) Spark jobs; they pay off when the skipped
+    #: positional decode dominates — i.e. when the total posting volume
+    #: of the phrase terms far exceeds the rarest terms'. Engage when
+    #: sum_df >= factor * sum(rarest dfs).
     phrase_block_factor = 4.0
+    #: rarest-term doc lists up to this many ids are collected to the
+    #: driver and broadcast (8 B/id -> <= 16 MB); beyond it the dense
+    #: full-decode plan applies (same bound class as BROADCAST_IDS_MAX)
+    PHRASE_CAND_CAP = 2_000_000
 
-    def _phrase_plan(
+    def _phrase_block_selection(
+        self,
+        rarest_terms: list[str],
+        mterms: list[str],
+        lang_id: int | None,
+    ) -> DataFrame:
+        """(term, salt, allowed array<int>) selection: the blocks of
+        every phrase term that contain at least one doc of the
+        sequences' rarest terms (any phrase match must contain its
+        sequence's rarest term, so blocks without one can contribute
+        neither candidates nor their postings' scores — lossless).
+        The rarest docs are collected (<= PHRASE_CAND_CAP), broadcast
+        sorted, and each segment-metadata row maps them to its blocks
+        with one vectorized searchsorted over (block_first_doc,
+        block_last_doc) — no decode of the frequent terms' streams and
+        no range join; driver state is bounded by the engagement cap."""
+        rdec = self._postings(rarest_terms, mode="score", lang_id=lang_id)
+        cdocs = np.unique(
+            rdec.select("doc_id").toPandas()["doc_id"].to_numpy(dtype=np.int64)
+        )
+        if cdocs.size == 0:
+            return self.spark.createDataFrame(
+                [], "term string, salt int, allowed array<int>"
+            )
+        bc = self.spark.sparkContext.broadcast(cdocs)
+        meta = self._segments_for(
+            mterms, cols=["term", "salt", "block_first_doc", "block_last_doc"]
+        )
+
+        def fn(it):
+            import pyarrow as pa
+
+            C = bc.value
+            for batch in it:
+                rows = _batch_row_views(
+                    batch, ["term", "salt", "block_first_doc", "block_last_doc"]
+                )
+                terms, salts, allowed = [], [], []
+                for row in rows:
+                    lo = np.searchsorted(C, row["block_first_doc"], side="left")
+                    hi = np.searchsorted(C, row["block_last_doc"], side="right")
+                    sel = np.flatnonzero(hi > lo).astype(np.int32)
+                    if sel.size:
+                        terms.append(row["term"])
+                        salts.append(int(row["salt"]))
+                        allowed.append(sel)
+                if terms:
+                    offs = np.concatenate(
+                        ([0], np.cumsum([a.size for a in allowed]))
+                    ).astype(np.int32)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(terms, type=pa.string()),
+                            pa.array(salts, type=pa.int32()),
+                            pa.ListArray.from_arrays(
+                                pa.array(offs, type=pa.int32()),
+                                pa.array(np.concatenate(allowed)),
+                            ),
+                        ],
+                        names=["term", "salt", "allowed"],
+                    )
+
+        return meta.mapInArrow(fn, "term string, salt int, allowed array<int>")
+
+    def _phrase_core(
         self,
         seqs: dict[int, list[str]],
         lang_id: int | None = None,
-    ) -> tuple[DataFrame, DataFrame, DataFrame]:
-        """LAZY core of phrase matching: returns (dec, cand_seq,
-        matches) where ``matches`` is an unmaterialized (seq_id,
-        doc_id) plan and ``dec``/``cand_seq`` are persisted inputs the
-        caller must unpersist AFTER running its terminal action —
-        single-query callers fuse scoring + count + top-k into ONE job
-        on top of this; composition callers use :meth:`_phrase_sets`.
+    ) -> tuple[DataFrame, dict[int, "F.Column"]]:
+        """Fused core of phrase matching (round-6): ONE decode pass,
+        ONE per-doc aggregate, adjacency as array intersection.
 
-        Scale shape (VERDICT r4 wrong #1 — the positional decode was
-        unbounded): the expensive position stream is never read for
-        the full term postings. Pass 1 decodes the CHEAP non-positional
-        stream in ``score_blk`` mode — each posting annotated with its
-        (salt, block) coordinates — and intersects per sequence via a
-        broadcast (seq_id, term) join + one counting aggregate (no
-        per-branch columns, so this scales past MAX_BRANCHES to whole
-        query batches). Pass 2 decodes positions ONLY for the blocks
-        holding a candidate doc (the surviving-block selection is
-        rebuilt relationally from pass 1's annotations and broadcast
-        into the segment scan, exactly like WAND's; engaged adaptively
-        — see ``phrase_block_factor``) and the decoded rows are
-        semi-joined to candidate docs BEFORE the position explode —
-        for ``"the matrix"`` the stopword's corpus-wide positions are
-        never materialized; the rarest term bounds the work. Adjacency
-        itself: token i at position p contributes (seq, doc, p - i),
-        and a phrase occurrence exists iff some (seq, doc, start) cell
-        collects all len(seq) offsets — count(*) is exact because
-        positions within a posting are distinct, keeping the aggregate
-        map-side combinable. Reference semantics: whereQuery.go:43-57.
+        Returns ``(base, conds)``: ``base`` is the lazy per-doc frame
+        with ``tp`` = map(term -> struct(wf, positions)) over every
+        decoded term of the doc, and ``conds[j]`` the match predicate
+        of sequence j over ``tp``. A sequence [t0..tm-1] matches iff
+        intersecting t0's positions with each ti's positions shifted by
+        -i is non-empty (a missing term nulls the intersection — size
+        -1 — so presence is implicit). Everything after the decode is
+        whole-stage-codegen Column math: no position explode, no
+        adjacency shuffle, no per-branch columns (scales past
+        MAX_BRANCHES to whole query batches).
+
+        Scale bound (VERDICT r5 next #1): when every sequence is
+        multi-token, any match must contain its sequence's RAREST term
+        (dfs ride the driver-side cache idf_map fills), so the
+        positional decode is restricted to blocks containing one of
+        those docs via :meth:`_phrase_block_selection` — for
+        ``"the matrix"`` the stopword's corpus-wide postings are never
+        decoded at all, in ANY stream. Engaged adaptively
+        (``phrase_block_factor`` / ``PHRASE_CAND_CAP``); with
+        single-token sequences present the full decode of their terms
+        is required anyway, so the dense plan applies.
+        Reference semantics: whereQuery.go:43-57.
         """
         seq_ids = sorted(seqs)
         all_terms = sorted({t for s in seqs.values() for t in s})
         multi = {j: seqs[j] for j in seq_ids if len(seqs[j]) > 1}
+        single_ids = [j for j in seq_ids if j not in multi]
         if multi and not self.meta.get("has_positions"):
             raise RuntimeError(
                 "phrase matching requires an index built with "
                 "with_positions=True (this index has no position stream)"
             )
-        spark = self.spark
-        dec = self._postings(all_terms, mode="score_blk", lang_id=lang_id).persist()
-        seqterm = spark.createDataFrame(
-            [(j, t) for j in seq_ids for t in sorted(set(seqs[j]))],
-            "seq_id int, term string",
-        )
-        ssize = spark.createDataFrame(
-            [(j, len(set(seqs[j]))) for j in seq_ids], "seq_id int, nterms int"
-        )
-        # AND candidates per sequence: docs holding every distinct term
-        # (dec has exactly one row per (term, doc) — salts cover
-        # disjoint doc ranges — so count(*) == nterms is exact)
-        cand_seq = (
-            dec.join(F.broadcast(seqterm), "term")
-            .groupBy("seq_id", "doc_id")
-            .agg(F.count(F.lit(1)).alias("nt"))
-            .join(F.broadcast(ssize), "seq_id")
-            .filter(F.col("nt") == F.col("nterms"))
-            .select("seq_id", "doc_id")
-            .persist()
-        )
+        mterms = sorted({t for s in multi.values() for t in s})
+        sterms_only = sorted(set(all_terms) - set(mterms))
+        self.idf_map(all_terms)  # warm the driver-side df cache
+        block_join = None
+        if multi and not single_ids:
+            rarest = sorted(
+                {
+                    min(set(s), key=lambda t: (self._df_cache.get(t, 0), t))
+                    for s in multi.values()
+                }
+            )
+            cand_cost = sum(self._df_cache.get(t, 0) for t in rarest)
+            full_cost = sum(self._df_cache.get(t, 0) for t in mterms)
+            if (
+                0 < cand_cost <= self.PHRASE_CAND_CAP
+                and full_cost >= self.phrase_block_factor * cand_cost
+            ):
+                block_join = self._phrase_block_selection(rarest, mterms, lang_id)
         parts = []
-        single_ids = [j for j in seq_ids if j not in multi]
-        if single_ids:
-            # a 1-token "phrase" hits wherever the term occurs
-            parts.append(cand_seq.filter(F.col("seq_id").isin(single_ids)))
         if multi:
-            multi_ids = sorted(multi)
-            cand_multi = (
-                cand_seq.filter(F.col("seq_id").isin(multi_ids))
-                .select("doc_id")
-                .distinct()
-            )
-            mterms = sorted({t for s in multi.values() for t in s})
-            # adaptive surviving-block selection: zero extra Spark jobs
-            # to decide (dfs ride the driver-side cache idf_map fills)
-            self.idf_map(mterms)
-            dfs = [self._df_cache.get(t, 0) for t in mterms]
-            engage = sum(dfs) >= self.phrase_block_factor * min(dfs) * len(mterms)
-            block_join = None
-            if engage:
-                block_join = (
-                    dec.filter(F.col("term").isin(mterms))
-                    .join(cand_multi, "doc_id", "left_semi")
-                    .groupBy("term", "salt")
-                    .agg(F.collect_set("bi").alias("allowed"))
-                )
-            pos = self._postings(
-                mterms, block_join=block_join, mode="score_pos", lang_id=lang_id
-            ).join(cand_multi, "doc_id", "left_semi")
-            qpos = spark.createDataFrame(
-                [(j, t, i) for j in multi_ids for i, t in enumerate(seqs[j])],
-                "seq_id int, term string, off int",
-            )
-            msize = spark.createDataFrame(
-                [(j, len(seqs[j])) for j in multi_ids], "seq_id int, m int"
-            )
-            slots = (
-                pos.select("term", "doc_id", F.explode("positions").alias("p"))
-                .join(F.broadcast(qpos), "term")
-                .select(
-                    "seq_id", "doc_id", (F.col("p") - F.col("off")).alias("p0")
-                )
-                .filter(F.col("p0") >= 0)
-            )
             parts.append(
-                slots.groupBy("seq_id", "doc_id", "p0")
-                .agg(F.count(F.lit(1)).alias("ns"))
-                .join(F.broadcast(msize), "seq_id")
-                .filter(F.col("ns") == F.col("m"))
-                .select("seq_id", "doc_id")
-                .distinct()
+                self._postings(
+                    mterms, block_join=block_join, mode="score_pos", lang_id=lang_id
+                )
             )
-        matches = parts[0]
+        if sterms_only:
+            parts.append(
+                self._postings(sterms_only, mode="score", lang_id=lang_id).withColumn(
+                    "positions", F.lit(None).cast("array<int>")
+                )
+            )
+        rows = parts[0]
         for p in parts[1:]:
-            matches = matches.unionByName(p)
-        return dec, cand_seq, matches
+            rows = rows.unionByName(p)
+        # one row per (term, doc) — salts cover disjoint doc ranges —
+        # so the per-doc map has unique keys by construction
+        base = rows.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("term"), F.struct(F.col("wf"), F.col("positions")))
+                )
+            ).alias("tp")
+        )
+        conds: dict[int, F.Column] = {}
+        for j in seq_ids:
+            toks = seqs[j]
+            if len(toks) == 1:
+                conds[j] = F.map_contains_key(F.col("tp"), toks[0])
+            else:
+                starts = F.col("tp")[toks[0]]["positions"]
+                for i in range(1, len(toks)):
+                    starts = F.array_intersect(
+                        starts,
+                        _shift_positions(F.col("tp")[toks[i]]["positions"], i),
+                    )
+                conds[j] = F.size(starts) > 0
+        return base, conds
+
+    def _phrase_score_col(self, idf: dict[str, float]):
+        """Fixed-point BM25 over every decoded term of the doc, computed
+        from the ``tp`` map with one higher-order aggregate — the same
+        floor(idf*wf*1e9) int64 contributions as contrib_fx, summed as
+        longs (exact and order-independent, so it equals the grouped
+        sum bit-for-bit)."""
+        idf_m = self._idf_expr(idf)
+        fx = F.aggregate(
+            F.map_entries(F.col("tp")),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + F.floor(idf_m[e["key"]] * e["value"]["wf"] * F.lit(SCORE_SCALE)).cast(
+                "long"
+            ),
+        )
+        return fx / F.lit(SCORE_SCALE)
 
     def _phrase_sets(
         self,
@@ -863,35 +933,27 @@ class SearchEngine:
         branches, batched queries): returns ``(matches, scored)`` —
         ``matches`` (seq_id, doc_id) distinct; ``scored`` (only when
         ``idf`` is given) is (doc_id, score), fixed-point BM25 over ALL
-        of ``seqs``' decoded terms for every doc in some match. Both
-        are EAGERLY materialized (localCheckpoint) and every
-        intermediate cache is released before returning, so callers
-        compose them freely with no lifetime obligations. See
-        :meth:`_phrase_plan` for the bounded two-pass shape."""
-        dec, cand_seq, matches_lazy = self._phrase_plan(seqs, lang_id)
-        try:
-            matches = matches_lazy.localCheckpoint(eager=True)
-            scored = None
-            if idf is not None:
-                hit_docs = matches.select("doc_id").distinct()
-                scored = (
-                    dec.join(hit_docs, "doc_id", "left_semi")
-                    .withColumn(
-                        "w_fx",
-                        contrib_fx(self._idf_expr(idf)[F.col("term")], F.col("wf")),
-                    )
-                    .groupBy("doc_id")
-                    .agg(F.sum("w_fx").alias("score_fx"))
-                    .select(
-                        "doc_id",
-                        (F.col("score_fx") / F.lit(SCORE_SCALE)).alias("score"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
-            return matches, scored
-        finally:
-            dec.unpersist()
-            cand_seq.unpersist()
+        of ``seqs``' decoded terms for every doc in some match. One
+        compact per-doc frame is materialized (localCheckpoint) and
+        both outputs are narrow views over it, so callers compose them
+        freely with no lifetime obligations. See :meth:`_phrase_core`
+        for the fused shape."""
+        base, conds = self._phrase_core(seqs, lang_id)
+        arr = F.filter(
+            F.array(*[F.when(conds[j], F.lit(j)) for j in sorted(seqs)]),
+            lambda x: x.isNotNull(),
+        )
+        cols = [F.col("doc_id"), arr.alias("_seqs")]
+        if idf is not None:
+            cols.append(self._phrase_score_col(idf).alias("score"))
+        flat = (
+            base.select(*cols)
+            .filter(F.size("_seqs") > 0)
+            .localCheckpoint(eager=True)
+        )
+        matches = flat.select(F.explode("_seqs").alias("seq_id"), "doc_id")
+        scored = flat.select("doc_id", "score") if idf is not None else None
+        return matches, scored
 
     def search_phrase(
         self,
@@ -926,28 +988,16 @@ class SearchEngine:
         idf = self.idf_map(sorted(set(qtokens)))
         k = limit * page
         lid = self.lang_id_of(lang_filter)
-        # single-query fast shape: score + phrase-filter + fused
-        # count/top-k in ONE terminal action over the lazy plan (the
-        # composition wrapper _phrase_sets would spend two extra
-        # checkpoint jobs here)
-        dec, cand_seq, matches = self._phrase_plan({0: qtokens}, lang_id=lid)
-        try:
-            cand = (
-                dec.join(matches.select("doc_id").distinct(), "doc_id", "left_semi")
-                .withColumn(
-                    "w_fx",
-                    contrib_fx(self._idf_expr(idf)[F.col("term")], F.col("wf")),
-                )
-                .groupBy("doc_id")
-                .agg(F.sum("w_fx").alias("score_fx"))
-                .select(
-                    "doc_id", (F.col("score_fx") / F.lit(SCORE_SCALE)).alias("score")
-                )
-            )
-            total, top = _topk_and_count(cand, k)
-        finally:
-            dec.unpersist()
-            cand_seq.unpersist()
+        # single-query fast shape: decode + per-doc map + phrase filter
+        # + score + fused count/top-k in ONE terminal action over the
+        # lazy plan — no persisted intermediates at all (round-6; the
+        # round-5 two-pass shape persisted two frames and re-decoded
+        # the position stream in a second Python pass)
+        base, conds = self._phrase_core({0: qtokens}, lang_id=lid)
+        cand = base.filter(conds[0]).select(
+            "doc_id", self._phrase_score_col(idf).alias("score")
+        )
+        total, top = _topk_and_count(cand, k)
         offset = limit * (page - 1)
         window = top[offset : offset + limit]
         return {

@@ -81,25 +81,23 @@ def main() -> None:
         )
     )
 
-    # phrase plan (round-5: BOUNDED positional decode — VERDICT r4 #1)
+    # phrase plan (round-6: fused single decode, rarest-term bounded)
     eng.phrase_block_factor = 0  # force block-selection engagement
-    dec_p, cand_seq_p, matches_p = eng._phrase_plan({0: ["the", "of"]})
+    base_p, conds_p = eng._phrase_core({0: ["the", "of"]})
     sections.append(
         (
-            "Phrase matching (round-5: bounded two-pass)",
-            "Look for: the positional scan (ReadSchema WITH pos_blob/"
-            "block_pos_off) sits behind a BroadcastHashJoin against the "
-            "surviving-block selection (term, salt, allowed) AND a LeftSemi "
-            "against candidate docs BEFORE the position explode — the "
-            "stopword's corpus-wide positions are never materialized. Pass 1 "
-            "is the cheap score_blk scan (NO pos columns in its ReadSchema); "
-            "the slot aggregate is a plain partial count HashAggregate "
-            "(map-side combinable), no countDistinct, no window.",
-            explain(matches_p),
+            "Phrase matching (round-6: fused single decode, rarest-term bound)",
+            "Look for: ONE positional scan (ReadSchema WITH pos_blob/"
+            "block_pos_off) behind a BroadcastHashJoin against the "
+            "rarest-term-derived block selection (term, salt, allowed) — the "
+            "frequent terms' streams are never fully decoded in ANY mode "
+            "(the only unrestricted decode is the rarest term's cheap "
+            "score scan feeding the selection); adjacency is array_intersect "
+            "Column math over a per-doc map aggregate — no position explode, "
+            "no adjacency shuffle, no window.",
+            explain(base_p.filter(conds_p[0]).select("doc_id")),
         )
     )
-    dec_p.unpersist()
-    cand_seq_p.unpersist()
     eng.phrase_block_factor = SearchEngine.phrase_block_factor
 
     # serving mode: decoded-postings cache (round-4)
