@@ -173,6 +173,264 @@ def _batch_phrase_matches(engine: SearchEngine, queries: list[dict]):
     )
 
 
+#: batches up to this many queries are evaluated with the vectorized
+#: doc-partitioned plan (one dense docs x batch-vocabulary panel per
+#: chunk); larger batches fall back to the qweights-join plan, whose
+#: per-row cost is O(1) in the batch size
+BATCH_EXPR_MAX = 256
+
+#: rows per dense evaluation chunk inside the batch evaluator — bounds
+#: task memory to ~chunk_docs x n_terms doubles regardless of
+#: partition size
+_EVAL_CHUNK_ROWS = 65_536
+
+
+def _batch_eval_fn(
+    compiled_queries,
+    term_to_tid,
+    with_score: bool,
+    reduce_: str | None = None,
+    maxk: int | None = None,
+):
+    """mapInArrow evaluator: doc-sorted (term, doc_id, wf, lang_id)
+    rows -> matching (query_id, doc_id[, score]) rows for EVERY query
+    of the batch in one vectorized pass.
+
+    Per chunk of whole docs, postings are scattered into a dense
+    (docs x batch-vocabulary) wf panel; each query's branch candidacy
+    is numpy boolean algebra over its term columns and its score the
+    int64 sum of floor(idf*wf*1e9) contributions — the identical
+    fixed-point arithmetic as contrib_fx, so scores are bit-identical
+    to the join+aggregate plan. ``compiled_queries``: list of
+    (query_id, lang_id_or_-1, [(tid, idf) score terms],
+    [branch tid-arrays]).
+
+    ``reduce_`` fuses the per-partition reduction that used to be a
+    SECOND Python pass (guide §4.1 — every extra Python node ships the
+    full candidate stream across the JVM boundary twice):
+      * ``"topk"``: emit only each query's partition-local top-maxk
+        (score DESC, doc ASC) — the _local_topk_fn contract;
+      * ``"fused"``: additionally one marker row per query carrying the
+        partition's candidate count — the _local_topk_count_fn /
+        _FUSED_SCHEMA contract.
+    Candidate buffers are compacted to maxk whenever they exceed
+    8*maxk, so memory stays bounded per query regardless of partition
+    size."""
+    import numpy as _np
+
+    n_terms = len(term_to_tid)
+
+    def _eval_chunk(docs, tids, wfs, langs, out):
+        uniq, inv = _np.unique(docs, return_inverse=True)
+        W = _np.zeros((uniq.size, n_terms), dtype=_np.float64)
+        W[inv, tids] = wfs
+        lang_doc = _np.empty(uniq.size, dtype=_np.int64)
+        lang_doc[inv] = langs
+        for qid, lid, sterms, branches in compiled_queries:
+            matched = None
+            for btids in branches:
+                p = (W[:, btids] > 0).all(axis=1)
+                matched = p if matched is None else (matched | p)
+            if lid != -1:
+                matched &= lang_doc == lid
+            idx = _np.flatnonzero(matched)
+            if not idx.size:
+                continue
+            row = [_np.full(idx.size, qid, dtype=_np.int64), uniq[idx]]
+            if with_score:
+                fx = _np.zeros(idx.size, dtype=_np.int64)
+                for tid, idf in sterms:
+                    fx += _np.floor(idf * W[idx, tid] * SCORE_SCALE).astype(
+                        _np.int64
+                    )
+                row.append(fx.astype(_np.float64) / SCORE_SCALE)
+            out.append(row)
+
+    def _topk_cut(docs, scores, k):
+        order = _np.lexsort((docs, -scores))[:k]
+        return docs[order], scores[order]
+
+    def fn(it):
+        import pyarrow as pa
+
+        plain = reduce_ is None
+        names = ["query_id", "doc_id"] + (["score"] if with_score else [])
+        if reduce_ == "fused":
+            names = ["query_id", "doc_id", "score", "n", "is_marker"]
+        # reduction state: per query accumulated (docs, scores) + count
+        acc: dict = {}
+        counts: dict = {}
+        yield_batches: list = []
+
+        def _consume(out):
+            if plain:
+                if out:
+                    arrays = [
+                        pa.array(_np.concatenate([r[i] for r in out]))
+                        for i in range(len(names))
+                    ]
+                    yield_batches.append(
+                        pa.RecordBatch.from_arrays(arrays, names=names)
+                    )
+                return
+            for row in out:
+                qid = int(row[0][0])
+                counts[qid] = counts.get(qid, 0) + row[1].size
+                d, s = acc.get(qid, (None, None))
+                nd = row[1] if d is None else _np.concatenate([d, row[1]])
+                ns = row[2] if s is None else _np.concatenate([s, row[2]])
+                if nd.size > 8 * maxk:
+                    nd, ns = _topk_cut(nd, ns, maxk)
+                acc[qid] = (nd, ns)
+
+        def _flush(bufs, final):
+            docs = _np.concatenate([b[1] for b in bufs])
+            if docs.size == 0:
+                return []
+            if final:
+                cut = docs.size
+            else:
+                # keep the (possibly straddling) last doc buffered
+                cut = _np.searchsorted(docs, docs[-1], side="left")
+                if cut == 0:
+                    return bufs  # single doc in buffer: keep accumulating
+            tids = _np.concatenate([b[0] for b in bufs])
+            wfs = _np.concatenate([b[2] for b in bufs])
+            langs = _np.concatenate([b[3] for b in bufs])
+            out: list = []
+            _eval_chunk(docs[:cut], tids[:cut], wfs[:cut], langs[:cut], out)
+            _consume(out)
+            if final or cut == docs.size:
+                return []
+            return [(tids[cut:], docs[cut:], wfs[cut:], langs[cut:])]
+
+        bufs: list = []
+        nbuf = 0
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            idx = {nm: j for j, nm in enumerate(batch.schema.names)}
+            denc = batch.column(idx["term"]).dictionary_encode()
+            lut = _np.asarray(
+                [term_to_tid[t] for t in denc.dictionary.to_pylist()],
+                dtype=_np.int64,
+            )
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(_np.int64)
+            bufs.append(
+                (
+                    lut[codes],
+                    batch.column(idx["doc_id"]).to_numpy(zero_copy_only=False).astype(_np.int64),
+                    batch.column(idx["wf"]).to_numpy(zero_copy_only=False).astype(_np.float64),
+                    batch.column(idx["lang_id"]).to_numpy(zero_copy_only=False).astype(_np.int64),
+                )
+            )
+            nbuf += batch.num_rows
+            if nbuf >= _EVAL_CHUNK_ROWS:
+                bufs = _flush(bufs, final=False)
+                nbuf = sum(b[1].size for b in bufs)
+            while yield_batches:
+                yield yield_batches.pop(0)
+        if bufs:
+            _flush(bufs, final=True)
+        if not plain and acc:
+            qs, ds, ss, ns, mk = [], [], [], [], []
+            for qid in sorted(acc):
+                d, s = _topk_cut(*acc[qid], maxk)
+                qs.append(_np.full(d.size, qid, dtype=_np.int64))
+                ds.append(d)
+                ss.append(s)
+                if reduce_ == "fused":
+                    ns.append(_np.zeros(d.size, dtype=_np.int64))
+                    mk.append(_np.zeros(d.size, dtype=bool))
+                    qs.append(_np.asarray([qid], dtype=_np.int64))
+                    ds.append(_np.asarray([-1], dtype=_np.int64))
+                    ss.append(_np.asarray([0.0], dtype=_np.float64))
+                    ns.append(_np.asarray([counts[qid]], dtype=_np.int64))
+                    mk.append(_np.asarray([True], dtype=bool))
+            arrays = [
+                pa.array(_np.concatenate(qs)),
+                pa.array(_np.concatenate(ds)),
+                pa.array(_np.concatenate(ss)),
+            ]
+            if reduce_ == "fused":
+                arrays += [pa.array(_np.concatenate(ns)), pa.array(_np.concatenate(mk))]
+            yield_batches.append(pa.RecordBatch.from_arrays(arrays, names=names))
+        while yield_batches:
+            yield yield_batches.pop(0)
+
+    return fn
+
+
+def _vectorized_candidate_plan(
+    engine: SearchEngine,
+    queries: list[dict],
+    all_terms: list[str],
+    with_score: bool,
+    block_join,
+    reduce_: str | None = None,
+    maxk: int | None = None,
+) -> DataFrame:
+    """Round-6 candidate plan for bounded batches: repartition the
+    decoded postings by doc_id (the ONLY shuffle — compact rows, no
+    per-query duplication) and evaluate every query of the batch in
+    one vectorized numpy pass per partition (guide §4.2: whole batches
+    to native code).
+
+    Replaces the qweights join + (query_id, doc_id) aggregate, which
+    fanned every hot term's postings out once per query containing it
+    (measured 2.4M decoded rows -> 7.3M joined rows -> a 4.9M-group /
+    85 MB shuffle for the 100-query bench batch; the doc-partitioned
+    shuffle is 39 MB with no fan-out). A Catalyst-expression variant
+    was tried first and rejected: a 100-query projection exceeds
+    whole-stage-codegen limits and fell back to interpreted row-at-a-
+    time eval (~80 s CPU). Scores are the identical fixed-point
+    floor(idf*wf*1e9) int64 sums — verified row-identical against the
+    join plan."""
+    idf = engine.idf_map(all_terms)
+    tid = {t: i for i, t in enumerate(all_terms)}
+    import numpy as _np
+
+    compiled_queries = []
+    for q in queries:
+        branches = expand_branches(q["query_text"], engine.synonyms)
+        qterms = sorted({t for b in branches for t in b})
+        if not qterms or not branches:
+            continue
+        lf = q.get("lang_filter")
+        lid = -1
+        if lf is not None:
+            lid = engine.lang_id_of(lf)
+            if lid is None or lid < 0:
+                lid = -2  # unknown lang: matches nothing
+        compiled_queries.append(
+            (
+                int(q["query_id"]),
+                lid,
+                [(tid[t], float(idf[t])) for t in qterms],
+                [
+                    _np.asarray(sorted({tid[t] for t in b}), dtype=_np.int64)
+                    for b in branches
+                ],
+            )
+        )
+    if reduce_ == "fused":
+        schema = _FUSED_SCHEMA
+    else:
+        sc = ", score double" if with_score else ""
+        schema = f"query_id long, doc_id long{sc}"
+    if not compiled_queries:
+        return engine.spark.createDataFrame([], schema)
+    postings = engine._postings(all_terms, block_join=block_join, mode="score_lang")
+    n_shuf = int(engine.spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        postings.repartition(n_shuf, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInArrow(
+            _batch_eval_fn(compiled_queries, tid, with_score, reduce_, maxk), schema
+        )
+    )
+
+
 def _candidates(
     engine: SearchEngine,
     queries: list[dict],
@@ -180,8 +438,18 @@ def _candidates(
     block_join=None,
     compiled=None,
     pmatch=None,
+    reduce_: str | None = None,
+    maxk: int | None = None,
 ):
-    """Shared matching plan -> (query_id, doc_id[, score]) + qmeta.
+    """Shared matching plan -> (cand, qmeta, reduced).
+
+    ``cand`` is (query_id, doc_id[, score]) — or, when ``reduce_`` was
+    requested AND could be fused into the vectorized evaluator
+    (``reduced`` True), already the per-partition-reduced frame
+    (_local_topk_fn / _FUSED_SCHEMA contract), saving a second Python
+    pass over the full candidate stream. Fusion is skipped when
+    ``pmatch`` restricts candidates after matching or the batch falls
+    back to the join plan — callers then apply their own reduction.
 
     ``block_join``: optional WAND surviving-block selection (term,
     salt, allowed) restricting the posting decode. ``compiled``: reuse
@@ -195,22 +463,36 @@ def _candidates(
         spark, queries, engine.synonyms, engine.idf_map, engine.lang_id_of
     )
     if not all_terms:
-        return None, qmeta
-    postings = engine._postings(all_terms, block_join=block_join, mode="score_lang")
-    joined = postings.join(F.broadcast(qweights), "term").filter(
-        (F.col("q_lang") == -1) | (F.col("q_lang") == F.col("lang_id"))
-    )
-    aggs = [F.sum(f"qb{i}").alias(f"_b{i}") for i in range(K)]
-    if with_score:
-        joined = joined.withColumn("w_fx", contrib_fx(F.col("idf"), F.col("wf")))
-        aggs = [F.sum("w_fx").alias("score_fx")] + aggs
-    scored = joined.groupBy("query_id", "doc_id").agg(*aggs)
-    cand = scored.join(F.broadcast(qmeta), "query_id").filter(_match_pred(K))
-    cols = ["query_id", "doc_id"]
-    if with_score:
-        cand = cand.withColumn("score", F.col("score_fx") / F.lit(SCORE_SCALE))
-        cols.append("score")
-    cand = cand.select(*cols)
+        return None, qmeta, False
+    fuse = reduce_ is not None and pmatch is None and len(queries) <= BATCH_EXPR_MAX
+    if len(queries) <= BATCH_EXPR_MAX:
+        cand = _vectorized_candidate_plan(
+            engine,
+            queries,
+            all_terms,
+            with_score,
+            block_join,
+            reduce_ if fuse else None,
+            maxk,
+        )
+    else:
+        postings = engine._postings(
+            all_terms, block_join=block_join, mode="score_lang"
+        )
+        joined = postings.join(F.broadcast(qweights), "term").filter(
+            (F.col("q_lang") == -1) | (F.col("q_lang") == F.col("lang_id"))
+        )
+        aggs = [F.sum(f"qb{i}").alias(f"_b{i}") for i in range(K)]
+        if with_score:
+            joined = joined.withColumn("w_fx", contrib_fx(F.col("idf"), F.col("wf")))
+            aggs = [F.sum("w_fx").alias("score_fx")] + aggs
+        scored = joined.groupBy("query_id", "doc_id").agg(*aggs)
+        cand = scored.join(F.broadcast(qmeta), "query_id").filter(_match_pred(K))
+        cols = ["query_id", "doc_id"]
+        if with_score:
+            cand = cand.withColumn("score", F.col("score_fx") / F.lit(SCORE_SCALE))
+            cols.append("score")
+        cand = cand.select(*cols)
     if pmatch is not None:
         phrase_qids = sorted(
             {int(q["query_id"]) for q in queries if q.get("phrase")}
@@ -220,7 +502,7 @@ def _candidates(
             pmatch, ["query_id", "doc_id"], "left_semi"
         )
         cand = keep.unionByName(restricted)
-    return cand, qmeta
+    return cand, qmeta, fuse
 
 
 def _batch_wand_selection(engine: SearchEngine, queries: list[dict], compiled):
@@ -244,12 +526,14 @@ def _batch_wand_selection(engine: SearchEngine, queries: list[dict], compiled):
     term_ub, best_sel = engine._term_ub_and_best(blocks)
     if not term_ub:
         return best_sel  # empty: no segments
-    probe_cand, _ = _candidates(
+    probe_cand, _, _ = _candidates(
         engine,
         queries,
         with_score=True,
         block_join=best_sel,
         compiled=compiled,
+        reduce_="topk",
+        maxk=max(int(q["limit"]) * int(q["page"]) for q in queries),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     kth = (
@@ -303,19 +587,25 @@ def _page_window_topk(
     bounded per-partition top-k -> per-query page window
     (query_id, doc_id, score, rank). None when the subset has no
     decodable terms."""
-    cand, qmeta = _candidates(
+    maxk = max(int(q["limit"]) * int(q["page"]) for q in queries)
+    cand, qmeta, reduced = _candidates(
         engine,
         queries,
         with_score=True,
         block_join=block_join,
         compiled=compiled,
         pmatch=pmatch,
+        reduce_="topk",
+        maxk=maxk,
     )
     if cand is None:
         return None
-    maxk = max(int(q["limit"]) * int(q["page"]) for q in queries)
-    pruned = cand.mapInPandas(
-        _local_topk_fn(maxk), "query_id long, doc_id long, score double"
+    pruned = (
+        cand
+        if reduced
+        else cand.mapInPandas(
+            _local_topk_fn(maxk), "query_id long, doc_id long, score double"
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -491,7 +781,10 @@ def search_batch(
     — totals then count phrase hits."""
     spark = engine.spark
     pmatch = _batch_phrase_matches(engine, queries)
-    cand, qmeta = _candidates(engine, queries, with_score=True, pmatch=pmatch)
+    maxk = max((int(q["limit"]) * int(q["page"]) for q in queries), default=1)
+    cand, qmeta, reduced = _candidates(
+        engine, queries, with_score=True, pmatch=pmatch, reduce_="fused", maxk=maxk
+    )
     if cand is None:
         return spark.createDataFrame(
             [],
@@ -502,13 +795,14 @@ def search_batch(
     # Distributed per-query top-k WITHOUT a global sort: every partition
     # keeps a bounded running top-maxk per query (linear scan, memory
     # <= n_queries*maxk rows) AND counts its candidate rows per query in
-    # the SAME pass (round-4: round 3 scanned the persisted candidate
-    # set twice — totals aggregate + top-k — and eagerly checkpointed
-    # the FULL joined output, which regressed batch100 1.2x; now the
-    # candidate set is scanned exactly once and only the tiny fused
-    # frame, <= n_parts * n_queries * (maxk+1) rows, is materialized).
-    maxk = max(int(q["limit"]) * int(q["page"]) for q in queries)
-    fused = cand.mapInPandas(_local_topk_count_fn(maxk), _FUSED_SCHEMA)
+    # the SAME pass — fused INTO the vectorized evaluator when possible
+    # (round-6; a separate mapInPandas pass shipped the full candidate
+    # stream over the Python boundary a second time). Only the tiny
+    # fused frame, <= n_parts * n_queries * (maxk+1) rows, is
+    # materialized.
+    fused = (
+        cand if reduced else cand.mapInPandas(_local_topk_count_fn(maxk), _FUSED_SCHEMA)
+    )
     fused = fused.localCheckpoint(eager=True)
     totals = fused.filter(F.col("is_marker")).groupBy("query_id").agg(
         F.sum("n").alias("total_hits")
@@ -537,7 +831,7 @@ def totals_batch(engine: SearchEngine, queries: list[dict]) -> DataFrame:
     """Per-query total_hits + last_page only (covers queries whose page
     window is empty and queries with zero hits). Q11/Q12 analog."""
     pmatch = _batch_phrase_matches(engine, queries)
-    cand, qmeta = _candidates(engine, queries, with_score=False, pmatch=pmatch)
+    cand, qmeta, _ = _candidates(engine, queries, with_score=False, pmatch=pmatch)
     if cand is None:
         return qmeta.select(
             "query_id",

@@ -186,3 +186,27 @@ def test_batch_phrase_flag(spark, tiny_pages_pdf, synonyms, tmp_path_factory):
     gotw = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in wand}
     expw = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in rows}
     assert gotw == expw
+
+
+def test_vectorized_plan_matches_join_plan(spark, tiny_index, synonyms):
+    """Round-6: the doc-partitioned vectorized evaluator (dense
+    docs x vocabulary numpy panel, fused per-partition top-k/count)
+    must return row-identical candidates AND identical final frames to
+    the qweights-join fallback plan it replaced."""
+    import micce_search_engine_spark.operators.batch_query as bq
+
+    eng = SearchEngine(spark, tiny_index, synonyms=synonyms)
+    new_rows = sorted(map(tuple, search_batch(eng, SPECS).collect()))
+    new_cand, _, reduced = bq._candidates(eng, SPECS, with_score=True)
+    assert not reduced  # no reduce requested -> plain candidate rows
+    new_c = sorted(map(tuple, new_cand.collect()))
+    old_max = bq.BATCH_EXPR_MAX
+    bq.BATCH_EXPR_MAX = 0  # force the join fallback
+    try:
+        old_rows = sorted(map(tuple, search_batch(eng, SPECS).collect()))
+        old_cand, _, _ = bq._candidates(eng, SPECS, with_score=True)
+        old_c = sorted(map(tuple, old_cand.collect()))
+    finally:
+        bq.BATCH_EXPR_MAX = old_max
+    assert new_c == old_c
+    assert new_rows == old_rows

@@ -123,7 +123,7 @@ def main() -> None:
         {"query_id": 0, "query_text": "the w000002", "lang_filter": "en", "limit": 10, "page": 1},
         {"query_id": 1, "query_text": "alias0", "lang_filter": None, "limit": 5, "page": 2},
     ]
-    cand, _ = _candidates(eng, specs, with_score=True)
+    cand, _, _ = _candidates(eng, specs, with_score=True)
     sections.append(
         (
             "Batched BM25 candidates (N queries, one plan)",
