@@ -151,12 +151,32 @@ def _md5_hash64(col, seed: int):
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}#"), col)), 1, 8), 16, 10).cast("long")
 
 
-def _minhash_col(shset, seed: int):
-    """min over md5-hash(seed, shingle) of one doc's shingle array —
-    a single narrow expression. NOTE: the seed must be bound via this
-    factory's scope; a two-parameter lambda passed to ``F.transform``
-    would receive the ARRAY INDEX as its second argument."""
-    return F.array_min(F.transform(shset, lambda s: _md5_hash64(s, seed)))
+def _signature_cols(df: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int) -> DataFrame:
+    """(doc_id, h0..h{num_hashes-1}) MinHash signature columns.
+
+    Shape (round-6): repartitioned doc rows -> explode shingles -> 16
+    md5 hash columns -> groupBy(doc_id) with min aggregates. All of it
+    whole-stage codegen; the partial (map-side) min collapses each
+    doc's shingles to ONE row before the only shuffle, so exchanged
+    bytes are O(docs). There is deliberately NO distinct: min is
+    duplicate-insensitive, and the round-5 distinct was a second full
+    shuffle of every shingle row. An array_min(transform(...)) variant
+    was measured ~30% slower — higher-order array functions evaluate
+    interpreted, outside codegen."""
+    spark = df.sparkSession
+    n_par = 2 * max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    ex = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+        .filter(F.size(tokens_col(F.col("__text"))) >= n)
+        .repartition(n_par, "doc_id")
+        .select("doc_id", F.explode(_shingle_array(F.col("__text"), n)).alias("shingle"))
+    )
+    return ex.groupBy("doc_id").agg(
+        *[F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_signatures(
@@ -168,17 +188,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signature over n-gram shingles.
 
-    Computed as ``array_min`` over the per-doc shingle array — one
-    narrow projection, ZERO shuffles (round-6; previously explode +
-    distinct + groupBy = two full shuffles of every shingle row). min
-    over the raw array equals min over distinct shingles, so values are
-    bit-identical to the oracle's grouped min."""
-    base = _shingle_sets(df, text_col, id_col, n)
-    return base.select(
+    min over all shingle occurrences equals min over distinct shingles,
+    so values are bit-identical to the oracle's grouped-distinct min —
+    see _signature_cols for the one-shuffle codegen shape."""
+    sigs = _signature_cols(df, text_col, id_col, n, num_hashes)
+    return sigs.select(
         "doc_id",
-        F.array(
-            *[_minhash_col(F.col("shset"), i) for i in range(num_hashes)]
-        ).alias("sig"),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -201,11 +217,11 @@ def minhash_lsh_pairs(
     Round-6 shape (guide §2.3/§2.4 — shuffle fewer bytes, remove
     shuffles outright; before/after in OPTIMIZATION_r06.md):
 
-      * signatures are ``array_min`` over the per-doc shingle array —
-        one narrow projection. Previously: explode + distinct + groupBy
-        with 16 min-aggs = two full shuffles of every (doc, shingle)
-        row. Only (doc_id, band, key) rows — a few dozen bytes per doc
-        — ever reach an exchange before the candidate set exists.
+      * signatures come from ONE codegen pass with map-side partial min
+        aggregation (_signature_cols) — the round-5 distinct (a second
+        full shuffle of every shingle row) is gone, min being
+        duplicate-insensitive; only O(docs) signature rows reach the
+        exchange.
       * verification is ``array_intersect`` on the two candidate docs'
         distinct-shingle arrays, attached to the (small) candidate-pair
         frame by two joins. Previously: a second full shingle explode,
@@ -217,11 +233,7 @@ def minhash_lsh_pairs(
         bit-identical to the oracle.
     """
     rows_per_band = num_hashes // bands
-    base = _shingle_sets(df, text_col, id_col, n)
-    sigs = base.select(
-        "doc_id",
-        *[_minhash_col(F.col("shset"), i).alias(f"h{i}") for i in range(num_hashes)],
-    ).persist()
+    sigs = _signature_cols(df, text_col, id_col, n, num_hashes).persist()
     banded = sigs.select(
         "doc_id",
         F.explode(

@@ -63,6 +63,21 @@ def bucket_of(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+def _parquet_row_count(path: str) -> int:
+    """Row count from parquet FOOTERS (driver-side metadata walk, no
+    Spark job) — a zero-column count() still pays a full job's
+    scheduling for what the footers already know. Used only to SIZE the
+    encode partitioning, never for correctness."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 class IndexPaths:
     def __init__(self, index_dir: str):
         self.root = index_dir
@@ -451,32 +466,39 @@ def build_index(
             doc_len = terms.groupBy("doc_id").agg(F.first("dl").alias("dl"))
             doc_cols = ["doc_id", "url", "lang"] + (["warc_ts"] if has_ts else [])
             n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
             # sub-split keeps the write parallel when few dbuckets
             # exist (bench: 1 bucket would otherwise serialize on one
             # task) while bounding files-per-dir to the sub count
-            (
-                with_ids.select(*doc_cols)
-                .join(doc_len, "doc_id", "left")
-                .withColumn("dl", F.coalesce("dl", F.lit(0)))
-                .withColumn("dbucket", dbucket)
-                .repartition(n_shuf, "dbucket", F.pmod(F.col("doc_id"), F.lit(16)))
-                .write.mode("overwrite")
-                .partitionBy("dbucket", "lang")
-                .parquet(p.docs + ".__tmp__")
-            )
+            def _write_docs():
+                (
+                    with_ids.select(*doc_cols)
+                    .join(doc_len, "doc_id", "left")
+                    .withColumn("dl", F.coalesce("dl", F.lit(0)))
+                    .withColumn("dbucket", dbucket)
+                    .repartition(n_shuf, "dbucket", F.pmod(F.col("doc_id"), F.lit(16)))
+                    .write.mode("overwrite")
+                    .partitionBy("dbucket", "lang")
+                    .parquet(p.docs + ".__tmp__")
+                )
+
             # url_map comes straight from the id map when available
             # (no pages scan at all)
-            um_src = ids if ids is not None else with_ids.select("url", "doc_id")
-            (
-                um_src.withColumn(
-                    "ubucket",
-                    (F.crc32(F.encode(F.col("url"), "UTF-8")) % url_buckets).cast("int"),
+            def _write_url_map():
+                um_src = ids if ids is not None else with_ids.select("url", "doc_id")
+                (
+                    um_src.withColumn(
+                        "ubucket",
+                        (F.crc32(F.encode(F.col("url"), "UTF-8")) % url_buckets).cast("int"),
+                    )
+                    .repartition(n_shuf, "ubucket")
+                    .write.mode("overwrite")
+                    .partitionBy("ubucket")
+                    .parquet(p.url_map + ".__tmp__")
                 )
-                .repartition(n_shuf, "ubucket")
-                .write.mode("overwrite")
-                .partitionBy("ubucket")
-                .parquet(p.url_map + ".__tmp__")
-            )
+
+            _write_docs()
+            _write_url_map()
             if ids is not None:
                 ids.unpersist()
             elif doc_id_col is None:
@@ -499,29 +521,36 @@ def build_index(
     if not st.skipped:
         with st:
             docs = spark.read.parquet(p.docs)
+
             # sum_dl/max_doc_id ride along so upserts can maintain
             # stats INCREMENTALLY (exact integer arithmetic — a
             # rebuilt and an incrementally-maintained index agree
             # bit-for-bit on avgdl = sum_dl / N)
-            stats = docs.agg(
-                F.count(F.lit(1)).alias("N"),
-                F.avg("dl").alias("avgdl"),
-                F.sum("dl").alias("sum_dl"),
-                F.max("doc_id").alias("max_doc_id"),
-            )
-            stats.coalesce(1).write.mode("overwrite").parquet(p.stats + ".__tmp__")
-            terms = spark.read.parquet(p.terms)
-            (
-                terms.groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-                .withColumn(
-                    "tbucket",
-                    (F.crc32(F.encode(F.col("term"), "UTF-8")) % n_buckets).cast("int"),
+            def _write_stats():
+                stats = docs.agg(
+                    F.count(F.lit(1)).alias("N"),
+                    F.avg("dl").alias("avgdl"),
+                    F.sum("dl").alias("sum_dl"),
+                    F.max("doc_id").alias("max_doc_id"),
                 )
-                .write.mode("overwrite")
-                .partitionBy("tbucket")
-                .parquet(p.term_stats + ".__tmp__")
-            )
+                stats.coalesce(1).write.mode("overwrite").parquet(p.stats + ".__tmp__")
+
+            def _write_term_stats():
+                terms = spark.read.parquet(p.terms)
+                (
+                    terms.groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+                    .withColumn(
+                        "tbucket",
+                        (F.crc32(F.encode(F.col("term"), "UTF-8")) % n_buckets).cast("int"),
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("tbucket")
+                    .parquet(p.term_stats + ".__tmp__")
+                )
+
+            _write_stats()
+            _write_term_stats()
     if fail_after == "S2_stats":
         raise RuntimeError("injected failure after S2_stats")
 
@@ -538,12 +567,11 @@ def build_index(
                     "table built WITHOUT positions; delete the index dir "
                     "and rebuild"
                 )
-            # count the RAW parquet read (zero-column scan ≈ footer
-            # row-counts, no decode) BEFORE the hot-term join below —
-            # counting after the join ran a full extra join job per
-            # build (ADVICE r2); the left join against unique hot
-            # terms preserves row count, so the numbers are identical
-            n_term_rows = terms.count()
+            # row count straight from the parquet FOOTERS (driver-side
+            # metadata walk — round-6; even a zero-column count() paid a
+            # full Spark job's scheduling per build). Used only to size
+            # the encode partitioning below.
+            n_term_rows = _parquet_row_count(p.terms)
             # Explicit skew handling: broadcast only the Zipf head.
             hot = (
                 spark.read.parquet(p.term_stats)

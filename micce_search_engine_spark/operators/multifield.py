@@ -103,6 +103,12 @@ def multifield_scored(
     branches = expand_branches(query_text, synonyms)
     if not branches:
         return None
+    if phrase and all(len(b) == 1 for b in branches):
+        # a 1-token phrase is exactly term presence, which the plain
+        # branch aggregate already computes — skip the positional
+        # machinery (and let serving engines keep their decoded-cache
+        # fast path) when no branch is multi-token (ADVICE r5)
+        phrase = False
     all_terms = sorted({t for b in branches for t in b})
     parts = []
     for fname, eng in sorted(engines.items()):
@@ -257,18 +263,16 @@ class ConditionEngine:
     def search(self, condition: dict) -> dict:
         """{total_hits, last_page, results} with the reference's
         limit*page / offset pagination quirk (queryBuilder.go:40-41,
-        response.go:40-42)."""
+        response.go:40-42). Count + top-k run FUSED in one job over the
+        lazy candidate frame (round-6, VERDICT r5 #6 — previously two
+        jobs over a persisted frame; _topk_and_count's partition-local
+        top-k + count-marker merge returns the identical totals and
+        page window)."""
+        from micce_search_engine_spark.operators.query import _topk_and_count
+
         limit, page = int(condition["limit"]), int(condition["page"])
-        cand = self.search_frame(condition).persist()
-        try:
-            total = cand.count()
-            top = (
-                cand.orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(limit * page)
-                .collect()
-            )
-        finally:
-            cand.unpersist()
+        cand = self.search_frame(condition)
+        total, top = _topk_and_count(cand, limit * page)
         offset = limit * (page - 1)
         window = top[offset : offset + limit]
         return {

@@ -76,9 +76,14 @@ def parse_condition(body: bytes) -> dict:
         cond["has_images"] = bool(req["has_instagram_image"])
     geo = req.get("geo")
     if geo is not None:
+        if not isinstance(geo, dict):
+            raise ValueError("geo must be an object")
+        # the reference zero-defaults missing fields (Go decodes
+        # {"geo": {}} to lat=0, lon=0 and returns 200) — mirror that
+        # instead of crashing the handler thread (ADVICE r5)
         cond["geo"] = {
-            "lat": float(geo["latitude"]),
-            "lon": float(geo["longitude"]),
+            "lat": float(geo.get("latitude", 0.0) or 0.0),
+            "lon": float(geo.get("longitude", 0.0) or 0.0),
         }
     return cond
 
@@ -110,11 +115,21 @@ def make_handler(
             n = int(self.headers.get("Content-Length", "0") or 0)
             try:
                 cond = parse_condition(self.rfile.read(n))
-            except ValueError as e:
+            except (ValueError, TypeError, KeyError) as e:
+                # TypeError/KeyError cover malformed field types the
+                # JSON layer accepts (e.g. a list-valued limit) — these
+                # previously killed the handler thread and dropped the
+                # connection with no response (ADVICE r5)
                 self._send(400, _error(400, str(e)))
                 return
             try:
                 res = condition_engine.search(cond)
+            except ValueError as e:
+                # request-classification errors from the engine (e.g.
+                # attribute conditions with no attrs table configured)
+                # are the caller's fault, not a server fault (ADVICE r5)
+                self._send(400, _error(400, str(e)))
+                return
             except Exception as e:  # engine-side failure -> 500
                 self._send(500, _error(500, str(e)))
                 return
