@@ -303,6 +303,75 @@ def _decode_map(
     return fn
 
 
+def _single_term_topk_fn(idf_t: float, k: int, lang_id: int | None, avgdl: float):
+    """mapInArrow: segment rows of ONE term -> per-partition top-k +
+    count marker rows (the _topk_and_count partition contract), fusing
+    decode, scoring and the local top-k into a single Python pass
+    (round-6; the relational shape chained a mapInArrow decode into a
+    mapInPandas top-k — two JVM<->Python crossings of every posting).
+    Scores are floor(idf*wf*1e9)/1e9 with int64 floors — the identical
+    fixed-point arithmetic as contrib_fx."""
+    want_lang = lang_id is not None
+    cols = _MODE_COLS["score_lang" if want_lang else "score"]
+
+    def fn(it):
+        import pyarrow as pa
+
+        docs_acc: list = []
+        scores_acc: list = []
+        cnt = 0
+
+        def compact(docs, scores):
+            order = np.lexsort((docs, -scores))[:k]
+            return docs[order], scores[order]
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            for row in _batch_row_views(batch, cols):
+                dec = decode_postings(row, None, want_lang=want_lang)
+                docs, tfs, dls = dec[0], dec[1], dec[2]
+                if want_lang:
+                    keep = dec[3] == lang_id
+                    docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                if not docs.size:
+                    continue
+                cnt += docs.size
+                wf = bm25_wf(tfs, dls, avgdl, BM25_K1, BM25_B)
+                fx = np.floor(idf_t * wf * SCORE_SCALE).astype(np.int64)
+                docs_acc.append(docs)
+                scores_acc.append(fx.astype(np.float64) / SCORE_SCALE)
+                if sum(d.size for d in docs_acc) > 8 * k:
+                    d, s = compact(
+                        np.concatenate(docs_acc), np.concatenate(scores_acc)
+                    )
+                    docs_acc, scores_acc = [d], [s]
+        if cnt:
+            d, s = compact(np.concatenate(docs_acc), np.concatenate(scores_acc))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.append(d, -1)),
+                    pa.array(np.append(s, 0.0)),
+                    pa.array(np.append(np.zeros(d.size, dtype=np.int64), cnt)),
+                    pa.array(np.append(np.zeros(d.size, dtype=bool), True)),
+                ],
+                names=["doc_id", "score", "n", "is_marker"],
+            )
+
+    return fn
+
+
+def _merge_topk_rows(rows, k: int) -> tuple[int, list]:
+    """Driver merge of per-partition top-k + count-marker rows (the
+    shared tail of _topk_and_count and the fused single-term path)."""
+    total = int(sum(r["n"] for r in rows if r["is_marker"]))
+    top = sorted(
+        (r for r in rows if not r["is_marker"]),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )
+    return total, top[:k]
+
+
 def _topk_and_count(cand: DataFrame, k: int) -> tuple[int, list]:
     """Fused total-count + top-k over (doc_id, score) in ONE job: each
     partition emits its bounded local top-k plus one count-marker row
@@ -335,12 +404,7 @@ def _topk_and_count(cand: DataFrame, k: int) -> tuple[int, list]:
     rows = cand.mapInPandas(
         part, "doc_id long, score double, n long, is_marker boolean"
     ).collect()
-    total = int(sum(r["n"] for r in rows if r["is_marker"]))
-    top = sorted(
-        (r for r in rows if not r["is_marker"]),
-        key=lambda r: (-r["score"], r["doc_id"]),
-    )
-    return total, top[:k]
+    return _merge_topk_rows(rows, k)
 
 
 def _shift_positions(col, off: int):
@@ -1055,6 +1119,30 @@ class SearchEngine:
                     all_terms, idf, k, branches, lang_id=lid
                 )
 
+        if not topk_only and len(all_terms) == 1 and self._decoded_cached is None:
+            # single-term exact query (round-6): decode + score + local
+            # top-k + count in ONE Python pass over the pruned segment
+            # scan — the relational shape chained two Python nodes
+            # (decode, then the fused top-k) and shipped every posting
+            # across the JVM boundary twice
+            t = all_terms[0]
+            cols = _MODE_COLS["score_lang" if lid is not None else "score"]
+            rows = (
+                self._segments_for([t], cols)
+                .mapInArrow(
+                    _single_term_topk_fn(float(idf[t]), k, lid, self.avgdl),
+                    "doc_id long, score double, n long, is_marker boolean",
+                )
+                .collect()
+            )
+            total, top = _merge_topk_rows(rows, k)
+            offset = limit * (page - 1)
+            window = top[offset : offset + limit]
+            return {
+                "total_hits": total,
+                "last_page": total - limit * page <= 0,
+                "results": [(r["doc_id"], r["score"]) for r in window],
+            }
         cand = self._scored(
             self._postings(all_terms, block_sel, mode="score", lang_id=lid),
             idf,
