@@ -262,7 +262,50 @@ def decode_postings(
         pos_blob = np.frombuffer(bytes(row["pos_blob"]), dtype=np.uint8)
     n_blocks = first.size
     if block_mask is None:
-        block_mask = np.ones(n_blocks, dtype=bool)
+        # FULL decode fast path (round-6): decode each stream with ONE
+        # varbyte call over the whole blob instead of one per block —
+        # a hot term's row previously made ~4 x n_blocks small numpy
+        # calls, which dominated full-row decode time. Doc ids are
+        # reconstructed from the global delta cumsum with a per-block
+        # base correction (v is 0 at block-first positions, so
+        # cs[start_b] is the sum of deltas before block b and
+        # ids = cs + (first_b - cs[start_b]) restarts each block at its
+        # absolute first doc). Bit-identical to the per-block path
+        # (covered by codec roundtrip tests + the posting_roundtrip
+        # oracle entry).
+        n = int(block_n.sum())
+        starts = np.concatenate(([0], np.cumsum(block_n)))[:-1].astype(np.int64)
+        blk_of = np.repeat(np.arange(n_blocks, dtype=np.int64), block_n)
+        deltas = varbyte_decode(doc_blob).astype(np.int64)
+        v = np.zeros(n, dtype=np.int64)
+        isfirst = np.zeros(n, dtype=bool)
+        isfirst[starts] = True
+        v[~isfirst] = deltas
+        cs = np.cumsum(v)
+        docs = cs + (first - cs[starts])[blk_of]
+        tfs = varbyte_decode(tf_blob).astype(np.int64)
+        dls = varbyte_decode(dl_blob).astype(np.int64)
+        out = (docs, tfs, dls)
+        if want_lang:
+            if has_lang:
+                out = out + (varbyte_decode(lang_blob).astype(np.int64),)
+            else:
+                out = out + (np.zeros_like(docs),)
+        if want_positions:
+            pd_ = varbyte_decode(pos_blob).astype(np.int64)
+            if pd_.size:
+                tcum = np.concatenate(([0], np.cumsum(tfs)))
+                firsts = tcum[:-1]
+                run = np.cumsum(pd_)
+                base = np.zeros(pd_.size, dtype=np.int64)
+                base[firsts] = run[firsts] - pd_[firsts]
+                np.maximum.accumulate(base, out=base)
+                out = out + (run - base,)
+            else:
+                out = out + (pd_,)
+        if want_block:
+            out = out + (blk_of,)
+        return out
     sel = np.flatnonzero(block_mask)
     empty = np.empty(0, dtype=np.int64)
     if sel.size == 0:
