@@ -219,6 +219,10 @@ def _batch_eval_fn(
     import numpy as _np
 
     n_terms = len(term_to_tid)
+    # bound the dense panel: <= ~8M cells (64 MB of float64) per chunk
+    # even when every row is a distinct doc and the batch vocabulary is
+    # at its largest
+    chunk_rows = max(4096, min(_EVAL_CHUNK_ROWS, 8_000_000 // max(n_terms, 1)))
 
     def _eval_chunk(docs, tids, wfs, langs, out):
         uniq, inv = _np.unique(docs, return_inverse=True)
@@ -325,7 +329,7 @@ def _batch_eval_fn(
                 )
             )
             nbuf += batch.num_rows
-            if nbuf >= _EVAL_CHUNK_ROWS:
+            if nbuf >= chunk_rows:
                 bufs = _flush(bufs, final=False)
                 nbuf = sum(b[1].size for b in bufs)
             while yield_batches:
@@ -580,13 +584,32 @@ def _batch_wand_selection(engine: SearchEngine, queries: list[dict], compiled):
     )
 
 
+#: driver-merge gate: the per-partition-reduced frame is collected and
+#: paged on the driver when its worst-case size (partitions x queries x
+#: (maxk+1) rows) stays under this bound — the same bounded-driver-merge
+#: contract _topk_and_count already uses for single queries. Beyond it
+#: the relational window tail applies unchanged.
+DRIVER_MERGE_MAX_ROWS = 2_000_000
+
+
+def _driver_merge_ok(engine: SearchEngine, queries: list[dict], maxk: int) -> bool:
+    n_parts = int(engine.spark.conf.get("spark.sql.shuffle.partitions"))
+    return n_parts * len(queries) * (maxk + 1) <= DRIVER_MERGE_MAX_ROWS
+
+
 def _page_window_topk(
     engine: SearchEngine, queries: list[dict], block_join, compiled, pmatch=None
 ) -> DataFrame | None:
     """Shared tail of the top-k-only batch paths: candidates ->
     bounded per-partition top-k -> per-query page window
     (query_id, doc_id, score, rank). None when the subset has no
-    decodable terms."""
+    decodable terms.
+
+    When the reduced frame is driver-merge bounded, the window +
+    broadcast-join tail collapses into one collect + local paging
+    (round-6: at 1M docs the relational tail's fixed jobs dominated the
+    batch leg's scaling); results are identical — same rows, same
+    (score DESC, doc_id ASC) total order."""
     maxk = max(int(q["limit"]) * int(q["page"]) for q in queries)
     cand, qmeta, reduced = _candidates(
         engine,
@@ -607,6 +630,24 @@ def _page_window_topk(
             _local_topk_fn(maxk), "query_id long, doc_id long, score double"
         )
     )
+    if _driver_merge_ok(engine, queries, maxk):
+        rows = pruned.collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(int(r["query_id"]), []).append(r)
+        out = []
+        for q in queries:
+            qid = int(q["query_id"])
+            limit, page = int(q["limit"]), int(q["page"])
+            sub = sorted(
+                by_q.get(qid, []), key=lambda r: (-r["score"], r["doc_id"])
+            )
+            lo = limit * (page - 1)
+            for rk, r in enumerate(sub[lo : limit * page], start=1):
+                out.append((qid, int(r["doc_id"]), float(r["score"]), rk))
+        return engine.spark.createDataFrame(
+            out, "query_id long, doc_id long, score double, rank int"
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         pruned.withColumn("rn", F.row_number().over(w))
@@ -803,8 +844,42 @@ def search_batch(
     fused = (
         cand if reduced else cand.mapInPandas(_local_topk_count_fn(maxk), _FUSED_SCHEMA)
     )
+    if _driver_merge_ok(engine, queries, maxk):
+        # bounded driver merge (round-6): ONE collect of the tiny fused
+        # frame replaces localCheckpoint + totals aggregate + window +
+        # two broadcast joins — at 1M docs those fixed jobs dominated
+        # the batch leg's 4->16 core scaling. Same rows, same total
+        # order, identical output.
+        rows = fused.collect()
+        totals: dict[int, int] = {}
+        by_q: dict[int, list] = {}
+        for r in rows:
+            qid = int(r["query_id"])
+            if r["is_marker"]:
+                totals[qid] = totals.get(qid, 0) + int(r["n"])
+            else:
+                by_q.setdefault(qid, []).append(r)
+        out = []
+        for q in queries:
+            qid = int(q["query_id"])
+            limit, page = int(q["limit"]), int(q["page"])
+            total = totals.get(qid, 0)
+            sub = sorted(
+                by_q.get(qid, []), key=lambda r: (-r["score"], r["doc_id"])
+            )
+            lo = limit * (page - 1)
+            last = total - limit * page <= 0
+            for rk, r in enumerate(sub[lo : limit * page], start=1):
+                out.append(
+                    (qid, int(r["doc_id"]), float(r["score"]), rk, total, last)
+                )
+        return spark.createDataFrame(
+            out,
+            "query_id long, doc_id long, score double, rank int, "
+            "total_hits long, last_page boolean",
+        )
     fused = fused.localCheckpoint(eager=True)
-    totals = fused.filter(F.col("is_marker")).groupBy("query_id").agg(
+    totals_df = fused.filter(F.col("is_marker")).groupBy("query_id").agg(
         F.sum("n").alias("total_hits")
     )
     pruned = fused.filter(~F.col("is_marker")).select("query_id", "doc_id", "score")
@@ -816,7 +891,7 @@ def search_batch(
             (F.col("rn") > F.col("limit") * (F.col("page") - 1))
             & (F.col("rn") <= F.col("limit") * F.col("page"))
         )
-        .join(F.broadcast(totals), "query_id")
+        .join(F.broadcast(totals_df), "query_id")
         .withColumn(
             "rank", (F.col("rn") - F.col("limit") * (F.col("page") - 1)).cast("int")
         )

@@ -127,9 +127,11 @@ def main() -> None:
     sections.append(
         (
             "Batched BM25 candidates (N queries, one plan)",
-            "Look for: BroadcastHashJoin against the tiny qweights table; "
-            "per-query lang filter BEFORE the aggregate; long-sum partial "
-            "aggregates (no collect_set/sort_array).",
+            "Look for (round-6 vectorized plan, batches <= 256 queries): ONE "
+            "Exchange hashpartitioning(doc_id) of the decoded postings — no "
+            "per-query fan-out join, no (query_id, doc_id) aggregate — then a "
+            "single MapInArrow evaluating every query's candidacy + fixed-point "
+            "score vectorized per doc chunk.",
             explain(cand),
         )
     )
@@ -143,9 +145,10 @@ def main() -> None:
     sections.append(
         (
             "MinHash-LSH near-dup pairs",
-            "Look for: band-bucket self-join (SortMergeJoin/ShuffledHashJoin on "
-            "band+key, never CartesianProduct); left-semi restriction of the "
-            "exact-verify join to LSH candidates.",
+            "Look for (round-6): signatures from one codegen explode + "
+            "partial-min HashAggregate (no distinct); band-bucket self-join "
+            "(never CartesianProduct); verification as array_intersect over "
+            "candidate docs' shingle arrays — NO shingle-keyed join anywhere.",
             explain(minhash_lsh_pairs(docs, threshold=0.5)),
         )
     )
