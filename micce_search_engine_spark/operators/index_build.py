@@ -22,8 +22,8 @@ Scale notes (designed for 10^12 docs / 1000 executors, tested local):
   * segments are partitioned by ``bucket = crc32(term) % n_buckets`` so
     a query prunes to its terms' buckets (the Iceberg ``bucket(term)``
     analog, SURVEY.md §4.1);
-  * all per-row work is in Arrow-batched pandas UDFs (tokenizer) or
-    grouped-map numpy (posting encode); no per-row Python.
+  * all per-row work is in Arrow-batched kernels (mapInArrow tokenize,
+    JVM-grouped mapInArrow posting encode); no per-row Python.
 """
 
 from __future__ import annotations
@@ -33,7 +33,6 @@ import os
 import zlib
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -252,72 +251,136 @@ def _tokenize_count_impl(it, with_positions: bool):
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def _make_partition_encoder(avgdl: float, n_buckets: int, with_positions: bool = False):
-    """Sort-based streaming encoder over a (term,salt)-partitioned,
-    (term,salt,doc_id)-sorted partition.
+def _segment_pa_schema(with_positions: bool):
+    """pyarrow schema matching SEGMENT_SCHEMA / SEGMENT_POS_SCHEMA (the
+    mapInArrow output contract — field names AND types must line up
+    with the Spark DDL exactly)."""
+    import pyarrow as pa
 
-    Arrow hands us ~10k-row batches; a (term,salt) group may straddle a
-    batch boundary, so the tail group of each batch is buffered and
-    prepended to the next. Group boundaries are found with numpy, the
-    BM25 weight is computed vectorized over the whole batch, and only
-    the varbyte encode loops per group — this amortizes the per-group
-    Python/Arrow overhead that a grouped-map (one pandas frame per
-    term) would pay ~50k times per shuffle partition."""
+    fields = [
+        ("term", pa.string()),
+        ("salt", pa.int32()),
+        ("bucket", pa.int32()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("max_wf", pa.float64()),
+        ("block_first_doc", pa.list_(pa.int64())),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_n", pa.list_(pa.int32())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_max_wf", pa.list_(pa.float64())),
+        ("block_doc_off", pa.list_(pa.int64())),
+        ("block_tf_off", pa.list_(pa.int64())),
+        ("block_dl_off", pa.list_(pa.int64())),
+        ("block_lang_off", pa.list_(pa.int64())),
+        ("doc_blob", pa.binary()),
+        ("tf_blob", pa.binary()),
+        ("dl_blob", pa.binary()),
+        ("lang_blob", pa.binary()),
+    ]
+    if with_positions:
+        fields += [
+            ("block_pos_off", pa.list_(pa.int64())),
+            ("pos_blob", pa.binary()),
+        ]
+    return pa.schema(fields)
 
-    def _emit(pdf: pd.DataFrame):
-        terms = pdf["term"].to_numpy()
-        salts = pdf["salt"].to_numpy(dtype=np.int64)
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        langs = pdf["lang_id"].to_numpy(dtype=np.int64)
-        wf = bm25_wf(tfs, dls, avgdl, BM25_K1, BM25_B)
-        change = np.empty(len(pdf), dtype=bool)
-        change[0] = True
-        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(pdf))
-        pos_flat = None
-        if with_positions:
-            pos_flat = (
-                np.concatenate(
-                    [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-                )
-                if len(pdf)
-                else np.empty(0, dtype=np.int64)
+
+def _grouped_postings(df: DataFrame, n_enc: int, with_positions: bool) -> DataFrame:
+    """JVM-side pre-grouping for the encode boundary (round-6).
+
+    The encode stage used to ship every posting ROW across the
+    JVM->Python Arrow boundary; per-row conversion dominated the stage
+    (a noop Python kernel cost the same ~3.5 s wall as the real encoder
+    at 7.3M postings / 32 cores). Collecting each (term, salt) group
+    into doc_id-sorted arrays JVM-side and shipping ONE row per group
+    moves the boundary from O(postings) rows to O(terms) rows; the
+    primitive-array split via transform() is interpreted per element
+    but measured far cheaper than the per-row boundary it replaces
+    (grouped noop 1.4 s vs row-shape noop 3.6 s, same data).
+
+    sort_array over struct(doc_id, ...) gives the exact doc_id-ascending
+    per-group order the old sortWithinPartitions produced (doc_ids are
+    unique within a group, so later struct fields never decide).
+    collect_list's concat order is nondeterministic, but sort_array
+    makes the result order-independent. The explicit repartition keeps
+    the data-aware n_enc partition count (AQE-coalescing-exempt); the
+    aggregate reuses that exchange because its keys match.
+    """
+    fields = ["doc_id", "tf", "dl", "lang_id"] + (
+        ["positions"] if with_positions else []
+    )
+    g = (
+        df.repartition(n_enc, "term", "salt")
+        .groupBy("term", "salt")
+        .agg(F.sort_array(F.collect_list(F.struct(*fields))).alias("ps"))
+    )
+    cols = [
+        F.expr("transform(ps, x -> x.doc_id)").alias("docs"),
+        F.expr("transform(ps, x -> x.tf)").alias("tfs"),
+        F.expr("transform(ps, x -> x.dl)").alias("dls"),
+        F.expr("transform(ps, x -> x.lang_id)").alias("langs"),
+    ]
+    if with_positions:
+        cols.append(F.expr("transform(ps, x -> x.positions)").alias("poss"))
+    return g.select("term", "salt", *cols)
+
+
+def _make_grouped_encoder(avgdl: float, n_buckets: int, with_positions: bool = False):
+    """Arrow-native encoder over pre-grouped rows (see _grouped_postings:
+    one (term,salt) group per row, fields as doc_id-ascending arrays).
+
+    All flattening is vectorized pyarrow/numpy; group boundaries come
+    straight from the list lengths — no per-batch tail buffering, no
+    pandas conversion, no per-row Python. Only the varbyte encode
+    (encode_many, O(1) numpy calls per batch) and the per-group output
+    dict remain."""
+    schema = _segment_pa_schema(with_positions)
+
+    def encode_groups(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _flat(col) -> np.ndarray:
+            return (
+                pc.list_flatten(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-        rows = encode_many(starts, ends, docs, tfs, dls, wf, langs, pos_flat)
-        gterms = terms[starts]
-        gsalts = salts[starts]
-        for gi, enc in enumerate(rows):
-            enc["term"] = gterms[gi]
-            enc["salt"] = int(gsalts[gi])
-            enc["bucket"] = bucket_of(gterms[gi], n_buckets)
-        yield pd.DataFrame(rows)
 
-    def encode_partition(it):
-        buf: pd.DataFrame | None = None
-        for pdf in it:
-            if buf is not None and len(buf):
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-            if not len(pdf):
+        for batch in it:
+            if batch.num_rows == 0:
                 continue
-            last_t = pdf["term"].iat[-1]
-            last_s = pdf["salt"].iat[-1]
-            tail = int(
-                (
-                    (pdf["term"].to_numpy() == last_t)
-                    & (pdf["salt"].to_numpy(dtype=np.int64) == last_s)
-                ).sum()
+            terms = batch.column("term").to_pylist()
+            salts = (
+                batch.column("salt")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            split = len(pdf) - tail
-            buf = pdf.iloc[split:]
-            if split:
-                yield from _emit(pdf.iloc[:split])
-        if buf is not None and len(buf):
-            yield from _emit(buf)
+            sizes = (
+                pc.list_value_length(batch.column("docs"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ends = np.cumsum(sizes)
+            starts = ends - sizes
+            docs = _flat(batch.column("docs"))
+            tfs = _flat(batch.column("tfs"))
+            dls = _flat(batch.column("dls"))
+            langs = _flat(batch.column("langs"))
+            pos_flat = None
+            if with_positions:
+                pos_flat = _flat(pc.list_flatten(batch.column("poss")))
+            wf = bm25_wf(tfs, dls, avgdl, BM25_K1, BM25_B)
+            rows = encode_many(starts, ends, docs, tfs, dls, wf, langs, pos_flat)
+            for gi, enc in enumerate(rows):
+                enc["term"] = terms[gi]
+                enc["salt"] = int(salts[gi])
+                enc["bucket"] = bucket_of(terms[gi], n_buckets)
+            yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
-    return encode_partition
+    return encode_groups
 
 
 def build_index(
@@ -602,10 +665,9 @@ def build_index(
             n_enc = -(-n_enc // par) * par
             seg_schema = SEGMENT_POS_SCHEMA if with_positions else SEGMENT_SCHEMA
             (
-                terms.repartition(n_enc, "term", "salt")
-                .sortWithinPartitions("term", "salt", "doc_id")
-                .mapInPandas(
-                    _make_partition_encoder(avgdl, n_buckets, with_positions),
+                _grouped_postings(terms, n_enc, with_positions)
+                .mapInArrow(
+                    _make_grouped_encoder(avgdl, n_buckets, with_positions),
                     seg_schema,
                 )
                 # cluster encoded rows by bucket so the dynamic-partition

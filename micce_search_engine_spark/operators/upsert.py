@@ -328,7 +328,8 @@ def _apply_upsert_locked(
         SEGMENT_SCHEMA,
         TERMS_POS_SCHEMA,
         TERMS_SCHEMA,
-        _make_partition_encoder,
+        _grouped_postings,
+        _make_grouped_encoder,
         _tokenize_count,
         _tokenize_count_pos,
     )
@@ -663,16 +664,14 @@ def _apply_upsert_locked(
         F.floor(F.col("doc_id") * n_rows_exp / F.lit(n_now)),
     ).otherwise(F.lit(0))
     # data-aware partition count like the build's S3: ~2M rows per
-    # partition keeps the per-task sort in memory on wide deltas
+    # partition bounds the per-task group-collect state on wide deltas
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_enc = max(n_shuffle, -(-t.count() // 2_000_000))
     re_encoded = (
-        t.withColumn("salt", salt.cast("int"))
-        .drop("_hot_df")
-        .repartition(n_enc, "term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(
-            _make_partition_encoder(avgdl_now, n_buckets, has_pos),
+        _grouped_postings(
+            t.withColumn("salt", salt.cast("int")).drop("_hot_df"), n_enc, has_pos
+        ).mapInArrow(
+            _make_grouped_encoder(avgdl_now, n_buckets, has_pos),
             SEGMENT_POS_SCHEMA if has_pos else SEGMENT_SCHEMA,
         )
     ).persist()
