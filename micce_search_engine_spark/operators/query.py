@@ -509,15 +509,19 @@ class SearchEngine:
             # doubles). Memory = one row per posting per executor —
             # the deliberate serving-tier tradeoff; batch/offline
             # sessions use preload=False/True instead.
-            n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            # NO repartition/sort after the decode (round-6): the
+            # segment scan is term-sorted within each bucket partition,
+            # and the decoder preserves row order — the decoded output
+            # is already term-clustered, so the in-memory cache's
+            # per-batch min/max stats prune just as well while the open
+            # skips a full 7.3M-row shuffle+sort (measured ~0.5 s of
+            # the open; probe latency unchanged in an interleaved A/B).
             self._decoded_cached = (
                 self._segments_cached.select(*_MODE_COLS["postings_lang"])
                 .mapInArrow(
                     _decode_map("postings_lang", avgdl=self.avgdl),
                     _POSTING_LANG_SCHEMA,
                 )
-                .repartition(n_shuf, "term")
-                .sortWithinPartitions("term")
                 .persist()
             )
             self._decoded_cached.count()  # materialize at open, not query 1
