@@ -28,6 +28,7 @@ Scale notes (designed for 10^12 docs / 1000 executors, tested local):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import zlib
@@ -91,6 +92,17 @@ class IndexPaths:
 
 TERMS_SCHEMA = "doc_id long, term string, tf long, dl long, lang_id long"
 TERMS_POS_SCHEMA = TERMS_SCHEMA + ", positions array<int>"
+
+#: posting rows per encode partition (build S3 + upsert re-encode).
+#: The grouped encode (_grouped_postings) holds a partition's
+#: collect_list state as JVM OBJECTS (~200 B/posting with buffer
+#: overhead), NOT spill-managed sort pages, so the cap must bound
+#: object memory per task: 250k rows ≈ 50 MB/task, ~1.6 GB across 32
+#: concurrent tasks. The previous 2M cap sized the per-partition SORT
+#: (spillable) and OOMed an 8 GB heap at 73M posting rows once the
+#: aggregate replaced the sort. A salted group (<= max_postings_per_row
+#: = 200k) still fits one partition.
+ENCODE_ROWS_PER_PARTITION = 250_000
 
 
 def _tokenize_count(it):
@@ -325,6 +337,32 @@ def _grouped_postings(df: DataFrame, n_enc: int, with_positions: bool) -> DataFr
     if with_positions:
         cols.append(F.expr("transform(ps, x -> x.positions)").alias("poss"))
     return g.select("term", "salt", *cols)
+
+
+@contextlib.contextmanager
+def _sort_based_group_agg(spark, enable: bool):
+    """Force the SORT-BASED aggregate (SortAggregate: spillable sort,
+    then ONE group buffer alive at a time) for the grouped encode of
+    POSITIONAL postings. collect_list state with nested position
+    arrays is JVM-object-heavy; ObjectHashAggregate holds a whole
+    partition's group buffers CONCURRENTLY and OOMed an 8 GB heap at
+    73M positional posting rows even with 250k-row partitions. The
+    sort-based plan bounds live object state to one group
+    (<= max_postings_per_row) — the same memory envelope as the old
+    sortWithinPartitions shape — while keeping the grouped Python
+    boundary. Non-positional rows are ~5x lighter and measured safe
+    (and faster) under the hash aggregate at the same scale, so the
+    conf is scoped to positional encodes only."""
+    key = "spark.sql.execution.useObjectHashAggregateExec"
+    if not enable:
+        yield
+        return
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _make_grouped_encoder(avgdl: float, n_buckets: int, with_positions: bool = False):
@@ -650,13 +688,14 @@ def build_index(
             terms = terms.withColumn("salt", salt.cast("int")).drop("_hot_df")
             # explicit partition count: with AQE on, repartition(cols)
             # may coalesce to 1 tiny partition and serialize the encode.
-            # DATA-AWARE: cap ~2M posting rows per partition so the
-            # per-partition (term,salt,doc_id) sort stays in execution
-            # memory — with a fixed count, doubling the corpus doubled
-            # per-task sort size and the 16-thread legs started
-            # spilling (measured superlinear build time at 1M docs)
+            # DATA-AWARE: cap posting rows per partition so the
+            # grouped-encode aggregation state fits per-task memory —
+            # see ENCODE_ROWS_PER_PARTITION for the derivation (the
+            # round-6 grouped boundary made the old 2M sort-sized cap
+            # an OOM at 1M docs: collect_list state is JVM objects,
+            # not spill-managed Tungsten sort pages)
             n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            n_enc = max(n_shuffle, -(-n_term_rows // 2_000_000))
+            n_enc = max(n_shuffle, -(-n_term_rows // ENCODE_ROWS_PER_PARTITION))
             # wave-align (round-4): round UP to a multiple of the core
             # count so the CPU-bound encode doesn't end on a straggler
             # wave (18 tasks on 16 cores = one full wave + a 2-task
@@ -664,22 +703,24 @@ def build_index(
             par = max(spark.sparkContext.defaultParallelism, 1)
             n_enc = -(-n_enc // par) * par
             seg_schema = SEGMENT_POS_SCHEMA if with_positions else SEGMENT_SCHEMA
-            (
-                _grouped_postings(terms, n_enc, with_positions)
-                .mapInArrow(
-                    _make_grouped_encoder(avgdl, n_buckets, with_positions),
-                    seg_schema,
+            with _sort_based_group_agg(spark, with_positions):
+                (
+                    _grouped_postings(terms, n_enc, with_positions)
+                    .mapInArrow(
+                        _make_grouped_encoder(avgdl, n_buckets, with_positions),
+                        seg_schema,
+                    )
+                    # cluster encoded rows by bucket so the dynamic-
+                    # partition writer emits one file per bucket instead
+                    # of every task fanning out to all n_buckets dirs
+                    # (and sort by term so parquet row-group min/max
+                    # stats prune term lookups)
+                    .repartition(n_buckets, "bucket")
+                    .sortWithinPartitions("term", "salt")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(p.segments + ".__tmp__")
                 )
-                # cluster encoded rows by bucket so the dynamic-partition
-                # writer emits one file per bucket instead of every task
-                # fanning out to all n_buckets dirs (and sort by term so
-                # parquet row-group min/max stats prune term lookups)
-                .repartition(n_buckets, "bucket")
-                .sortWithinPartitions("term", "salt")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(p.segments + ".__tmp__")
-            )
     if fail_after == "S3_segments":
         raise RuntimeError("injected failure after S3_segments")
 

@@ -323,6 +323,7 @@ def _apply_upsert_locked(
     """
     from micce_search_engine_spark.operators.docids import assign_doc_ids
     from micce_search_engine_spark.operators.index_build import (
+        ENCODE_ROWS_PER_PARTITION,
         IndexPaths,
         SEGMENT_POS_SCHEMA,
         SEGMENT_SCHEMA,
@@ -330,6 +331,7 @@ def _apply_upsert_locked(
         TERMS_SCHEMA,
         _grouped_postings,
         _make_grouped_encoder,
+        _sort_based_group_agg,
         _tokenize_count,
         _tokenize_count_pos,
     )
@@ -663,10 +665,11 @@ def _apply_upsert_locked(
         F.col("_hot_df").isNotNull(),
         F.floor(F.col("doc_id") * n_rows_exp / F.lit(n_now)),
     ).otherwise(F.lit(0))
-    # data-aware partition count like the build's S3: ~2M rows per
-    # partition bounds the per-task group-collect state on wide deltas
+    # data-aware partition count like the build's S3: bound the
+    # per-task group-collect OBJECT state on wide deltas (see
+    # ENCODE_ROWS_PER_PARTITION for the memory derivation)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_enc = max(n_shuffle, -(-t.count() // 2_000_000))
+    n_enc = max(n_shuffle, -(-t.count() // ENCODE_ROWS_PER_PARTITION))
     re_encoded = (
         _grouped_postings(
             t.withColumn("salt", salt.cast("int")).drop("_hot_df"), n_enc, has_pos
@@ -675,17 +678,21 @@ def _apply_upsert_locked(
             SEGMENT_POS_SCHEMA if has_pos else SEGMENT_SCHEMA,
         )
     ).persist()
-    for b in aff_buckets:
-        bucket_dir = os.path.join(p.segments, f"bucket={b}")
-        keep = (
-            spark.read.parquet(bucket_dir)
-            .join(affected, "term", "left_anti")
-            if os.path.exists(bucket_dir)
-            else None
-        )
-        add = re_encoded.filter(F.col("bucket") == b).drop("bucket")
-        out = add if keep is None else keep.unionByName(add)
-        swaps.append(_prepare_overwrite(out, bucket_dir))
+    # positional grouped encode runs sort-based (see
+    # _sort_based_group_agg); the conf must be live when the persisted
+    # frame first MATERIALIZES, i.e. around the bucket-staging writes
+    with _sort_based_group_agg(spark, has_pos):
+        for b in aff_buckets:
+            bucket_dir = os.path.join(p.segments, f"bucket={b}")
+            keep = (
+                spark.read.parquet(bucket_dir)
+                .join(affected, "term", "left_anti")
+                if os.path.exists(bucket_dir)
+                else None
+            )
+            add = re_encoded.filter(F.col("bucket") == b).drop("bucket")
+            out = add if keep is None else keep.unionByName(add)
+            swaps.append(_prepare_overwrite(out, bucket_dir))
 
     meta["min_avgdl_encoded"] = min(
         float(meta.get("min_avgdl_encoded", meta.get("avgdl_encoded", avgdl_now))),

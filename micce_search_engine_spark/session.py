@@ -63,6 +63,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # BYTES bound on Python-runner Arrow batches (Spark 4: batch
+        # closes when EITHER limit hits). The grouped posting encoder
+        # ships one row per (term,salt) group whose arrays hold up to
+        # max_postings_per_row postings — at web scale most rows sit AT
+        # that cap, so a records-only bound would admit multi-GB
+        # batches (measured: a 1M-doc build OOMed a 8g heap exactly
+        # there). 32 MB bounds executor batch memory independently of
+        # row width at ANY scale; for narrow per-posting rows the
+        # records bound still closes batches first, so nothing else
+        # changes.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
